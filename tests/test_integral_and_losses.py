@@ -55,14 +55,22 @@ def test_mask_reconstruction_loss_modes():
     np.testing.assert_allclose(clipped, np.mean(((m - g) ** 2) * (m > 0.1)), rtol=1e-6)
 
 
-def test_bone_sym_loss_zero_for_symmetric_pose():
+def test_bone_sym_loss_zero_for_equal_bone_lengths():
+    # the loss pairs consecutive bones (wrist-elbow vs elbow-shoulder etc.,
+    # reference loss_func.py:18-25); equal-length bones must zero it.
     kps = np.zeros((1, 18, 3), dtype=np.float32)
-    # build perfectly mirrored limbs
-    for (c, p), (c2, p2) in [((16, 15), (13, 12)), ((15, 14), (12, 11)), ((3, 2), (6, 5)), ((2, 1), (5, 4))]:
+    for c, p in [(15, 14), (16, 15), (12, 11), (13, 12), (2, 1), (3, 2), (5, 4), (6, 5)]:
         v = RNG.normal(size=3)
+        v = v / np.linalg.norm(v) * 250.0  # same length, arbitrary direction
         kps[0, c] = kps[0, p] + v
-        kps[0, c2] = kps[0, p2] + v
     assert float(L.compute_bone_sym_loss(jnp.asarray(kps))) < 1e-10
+
+
+def test_bone_sym_loss_nonzero_for_unequal_pairs():
+    kps = np.zeros((1, 18, 3), dtype=np.float32)
+    kps[0, 16] = kps[0, 15] + [100.0, 0, 0]
+    kps[0, 15] = kps[0, 14] + [300.0, 0, 0]
+    assert float(L.compute_bone_sym_loss(jnp.asarray(kps))) > 1e-4
 
 
 def test_disc_loss_min_over_hypotheses():

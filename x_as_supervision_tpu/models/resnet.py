@@ -1,0 +1,214 @@
+"""ResNet backbone + deconvolution head for the integral pose detector.
+
+TPU-native design notes:
+  * NHWC layout throughout (XLA:TPU's preferred conv layout).
+  * Parameters and BatchNorm statistics live in float32; compute (conv /
+    matmul activations) can run in bfloat16 via `dtype` for MXU throughput.
+  * BatchNorm uses the *global* batch statistics: under jit + GSPMD the mean
+    and variance reductions run over the full sharded batch axis, so XLA
+    inserts the cross-replica collective automatically. This reproduces the
+    reference's `nn.SyncBatchNorm` (reference:
+    modules/integral_base_modules/resnet.py:18,30,40) without a hand-written
+    comm layer.
+
+Reference architecture: modules/integral_base_modules/resnet.py (backbone),
+deconv_head.py (head), network.py (assembly + model-zoo init). ImageNet
+initialization is done offline via tools/convert_torch_resnet.py (no
+network access at train time); otherwise Kaiming fan-out init is used, like
+the reference's fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# {depth: (block, layer counts, channels)} — channels are post-expansion.
+RESNET_SPEC = {
+    18: ("basic", (2, 2, 2, 2), (64, 64, 128, 256, 512)),
+    34: ("basic", (3, 4, 6, 3), (64, 64, 128, 256, 512)),
+    50: ("bottleneck", (3, 4, 6, 3), (64, 256, 512, 1024, 2048)),
+    101: ("bottleneck", (3, 4, 23, 3), (64, 256, 512, 1024, 2048)),
+    152: ("bottleneck", (3, 8, 36, 3), (64, 256, 512, 1024, 2048)),
+}
+
+_KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class _BN(nn.Module):
+    """BatchNorm with fp32 statistics regardless of compute dtype."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
+        )(x)
+        y = _BN(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            kernel_init=_KAIMING,
+        )(y)
+        y = _BN(self.dtype)(y, train)
+        if self.downsample:
+            x = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
+            )(x)
+            x = _BN(self.dtype)(x, train)
+        return nn.relu(x + y)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.Conv(
+            self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=_KAIMING,
+        )(x)
+        y = _BN(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
+        )(y)
+        y = _BN(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes * self.expansion, (1, 1), use_bias=False,
+            dtype=self.dtype, kernel_init=_KAIMING,
+        )(y)
+        y = _BN(self.dtype)(y, train)
+        if self.downsample:
+            x = nn.Conv(
+                self.planes * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, kernel_init=_KAIMING,
+            )(x)
+            x = _BN(self.dtype)(x, train)
+        return nn.relu(x + y)
+
+
+class ResNetBackbone(nn.Module):
+    """7x7 stem -> maxpool -> 4 stages; input (B, 256, 256, 3) -> (B, 8, 8, C).
+
+    Reference: modules/integral_base_modules/resnet.py:11-61.
+    """
+
+    num_layers: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        block_kind, counts, _ = RESNET_SPEC[self.num_layers]
+        block = BasicBlock if block_kind == "basic" else Bottleneck
+
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=self.dtype, kernel_init=_KAIMING,
+        )(x)
+        x = _BN(self.dtype)(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, blocks in enumerate(counts):
+            planes = 64 * (2**stage)
+            for i in range(blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                expansion = 1 if block_kind == "basic" else 4
+                in_ch = x.shape[-1]
+                needs_down = stride != 1 or in_ch != planes * expansion
+                x = block(
+                    planes, stride=stride, downsample=needs_down,
+                    dtype=self.dtype,
+                )(x, train)
+        return x
+
+
+class DeconvHead(nn.Module):
+    """num_layers x (ConvTranspose stride-2 + BN + ReLU) + 1x1 projection to
+    num_joints * depth_dim channels. (B, 8, 8, C) -> (B, 64, 64, K*D).
+
+    Reference: modules/integral_base_modules/deconv_head.py:24-58.
+    """
+
+    num_joints: int
+    depth_dim: int
+    num_deconv_layers: int = 3
+    num_filters: int = 256
+    kernel_size: int = 4
+    final_conv_kernel: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for _ in range(self.num_deconv_layers):
+            x = nn.ConvTranspose(
+                self.num_filters,
+                (self.kernel_size, self.kernel_size),
+                strides=(2, 2),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=_KAIMING,
+            )(x)
+            x = _BN(self.dtype)(x, train)
+            x = nn.relu(x)
+        pad = 0 if self.final_conv_kernel == 1 else 1
+        x = nn.Conv(
+            self.num_joints * self.depth_dim,
+            (self.final_conv_kernel, self.final_conv_kernel),
+            padding=pad,
+            use_bias=True,
+            dtype=self.dtype,
+            kernel_init=_KAIMING,
+        )(x)
+        # logits leave the head in fp32: the softmax decode is
+        # precision-sensitive (64^3-way normalization).
+        return x.astype(jnp.float32)
+
+
+class ResPoseNet(nn.Module):
+    """Backbone + head. Reference: modules/integral_base_modules/network.py:10-19."""
+
+    num_joints: int
+    depth_dim: int
+    num_layers: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ResNetBackbone(self.num_layers, dtype=self.dtype, name="backbone")(
+            x, train
+        )
+        return DeconvHead(
+            self.num_joints, self.depth_dim, dtype=self.dtype, name="head"
+        )(x, train)
