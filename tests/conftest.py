@@ -1,10 +1,14 @@
-"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax
-import so multi-device sharding (data-parallel step, cross-replica batch
-norm) is exercised without TPU hardware."""
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE any
+backend initialization so multi-device sharding (data-parallel step,
+cross-replica batch norm) is exercised without TPU hardware.
+
+The environment's sitecustomize pins JAX_PLATFORMS to the TPU tunnel, so a
+plain env override is not enough — use jax.config, which wins as long as no
+backend has been created yet.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +17,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,68 @@
+"""Model factory: config dict -> GanSpec (detector, discriminator, physique).
+
+Mirrors the reference's prepare_model dispatch (reference: train.py:212-269)
+minus the torch optimizers (built in train/state.py) and with the SMPL layer
+loaded lazily from its converted .npz (reference loads chumpy pkls at
+train.py:230-238; see tools/smpl_pkl_to_npz.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.composed import GanSpec, cal_links
+from ..models.detector import build_detector
+from ..models.discriminator import build_discriminator
+from ..models.physique import PhysiqueMaskGenerator
+from ..models import smpl as smpl_mod
+
+
+def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
+    mp = config["model_params"]
+    detector = build_detector(mp["detector_params"], dtype=dtype)
+
+    discriminator = None
+    if "smpl_disc_params" in mp:
+        # Discriminator graph uses the un-extended skeleton edges
+        # (reference: modules/model.py:202-210).
+        parents, children = cal_links(
+            mp["parent_ids"],
+            line_select_ids=mp.get("line_select_ids"),
+            use_root=False,
+            extension=False,
+        )
+        discriminator = build_discriminator(
+            mp["smpl_disc_params"], parents, children
+        )
+
+    physique = None
+    if "physique_mask_generator_params" in mp:
+        physique = PhysiqueMaskGenerator(
+            num_features=tuple(
+                mp["physique_mask_generator_params"]["layers"]
+            ),
+            dtype=dtype,
+        )
+
+    return GanSpec.from_config(mp, detector, discriminator, physique)
+
+
+def load_smpl_assets(config: dict):
+    """(SmplModel, h36m_regressor) when smpl_layer_params is configured and
+    the converted assets exist; (None, None) otherwise. The in-repo training
+    path only touches SMPL through the pre-rendered pseudo stream (reference
+    SURVEY.md §3.5), so training proceeds without the files."""
+    mp = config["model_params"]
+    if "smpl_layer_params" not in mp:
+        return None, None
+    root = mp["smpl_layer_params"]["model_path"]
+    npz = os.path.join(root, "smpl_neutral.npz")
+    reg = os.path.join(root, "J_regressor_h36m.npy")
+    model = smpl_mod.load_smpl_npz(npz) if os.path.exists(npz) else None
+    regressor = (
+        jnp.asarray(np.load(reg), jnp.float32) if os.path.exists(reg) else None
+    )
+    return model, regressor
