@@ -1,0 +1,102 @@
+"""Throughput benchmark: fused GAN train step on the flagship config.
+
+Measures training images/sec/chip (each camera view counts once: the
+reference processes 4 camera crops + 4 pseudo crops per sample per
+iteration). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput (BASELINE.md), so the
+ratio is against the repo's north star: 3x an estimated A100 reference
+throughput for the same workload. The A100 estimate (A100_EST_IMG_S) is a
+stated assumption, not a measurement: PyTorch DDP ResNet-50 fwd+bwd at
+256^2 with the extra pseudo forwards, line renderer, and GCN GAN overhead.
+vs_baseline >= 1.0 means the north star target is met under that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
+NORTH_STAR = 3.0 * A100_EST_IMG_S
+
+GLOBAL_BATCH = 16
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from x_as_supervision_tpu.data.synthetic import SyntheticPoseDataset
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state,
+        make_optimizers,
+        make_train_step,
+    )
+
+    cfg = _flagship_config()
+    cams = cfg["dataset_params"]["cam_id_list"]
+    spec = build_gan_spec(cfg, dtype=jnp.bfloat16)
+
+    n_dev = jax.device_count()
+    batch_size = GLOBAL_BATCH
+    ds = SyntheticPoseDataset(
+        num_samples=batch_size, cam_id_list=cams, patch_size=256
+    )
+    batch = ds.device_batch(0, batch_size)
+
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 100)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), batch, opt_det, opt_disc
+    )
+
+    mesh = M.make_mesh()
+    state = M.replicate_state(state, mesh)
+    batch = M.shard_batch(batch, mesh)
+
+    step = make_train_step(spec, opt_det, opt_disc)
+
+    rng = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        state, metrics, _ = step(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics, _ = step(
+            state, batch, jax.random.fold_in(rng, WARMUP + i)
+        )
+    jax.block_until_ready(metrics["loss_total"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    imgs_per_step = batch_size * len(cams)
+    img_s = imgs_per_step / dt
+    img_s_chip = img_s / n_dev
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(img_s_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_s_chip / NORTH_STAR, 4),
+                "step_time_ms": round(dt * 1e3, 2),
+                "global_batch": batch_size,
+                "cams": len(cams),
+                "devices": n_dev,
+                "loss_total": float(metrics["loss_total"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,12 @@ class SyntheticPoseDataset:
         b = self.batch(start, batch_size)
         b.pop("act", None)
         return b
+
+    def batch_from_indices(self, indices) -> dict:
+        samples = [self.sample(int(i)) for i in indices]
+        out = {}
+        for key in samples[0]:
+            if key == "act":
+                continue
+            out[key] = np.stack([s[key] for s in samples])
+        return out

@@ -59,6 +59,7 @@ class GanSpec:
     body_width: float
     disc_sup_dim: int = 3
     use_aug: bool = False
+    remat: bool = True
 
     @staticmethod
     def from_config(model_params, detector, discriminator, physique):
@@ -91,16 +92,38 @@ def _active_cams(spec: GanSpec, batch: dict):
 
 
 def _detector_apply(spec, det_vars, img, rng, train):
-    """One detector forward, returning decode + updated batch stats."""
-    if train:
+    """One detector forward, returning decode + updated batch stats.
+
+    Under `spec.remat` the forward is wrapped in jax.checkpoint: the step
+    runs the detector up to 8x per iteration (4 cameras + 4 pseudo views,
+    reference modules/model.py:62-69,145-164), and storing each forward's
+    activations — in particular the (B, 64, 64, K, 64) softmax volume — for
+    the backward pass exceeds HBM. Rematerialization trades one recompute
+    per forward for an ~8x activation-memory reduction.
+    """
+    del rng  # the detector has no dropout; rngs are for the discriminator
+
+    if not train:
+        return spec.detector.apply(det_vars, img, train=False), det_vars
+
+    def fwd(params, stats, img):
         out, mutated = spec.detector.apply(
-            det_vars, img, train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng} if rng is not None else None,
+            {"params": params, "batch_stats": stats},
+            img, train=True, mutable=["batch_stats"],
         )
-        new_vars = {**det_vars, "batch_stats": mutated["batch_stats"]}
-        return out, new_vars
-    out = spec.detector.apply(det_vars, img, train=False)
-    return out, det_vars
+        return out.kps, out.depth_prob_map, mutated["batch_stats"]
+
+    if spec.remat:
+        fwd = jax.checkpoint(fwd)
+    kps, depth_map, new_stats = fwd(
+        det_vars["params"], det_vars.get("batch_stats", {}), img
+    )
+    from ..ops.integral import IntegralDecode
+
+    return IntegralDecode(kps, depth_map), {
+        "params": det_vars["params"],
+        "batch_stats": new_stats,
+    }
 
 
 def _vmap_hypo(fn, kps_h):
@@ -175,11 +198,17 @@ def generator_forward(
     for cam in cams:
         ck = f"cam_{cam}"
         img_side = batch[f"{ck}_img"].shape[-2]
-        heatmaps = G.draw_lines(
-            kps_ori[ck][:, 0, :, :2], img_side,
-            spec.render_parent_ids, spec.render_child_ids, spec.body_width,
-        )
-        mask = heatmaps.max(axis=1)[..., None]  # (B, S, S, 1) NHWC
+        def render(kps2d):
+            hm = G.draw_lines(
+                kps2d, img_side,
+                spec.render_parent_ids, spec.render_child_ids,
+                spec.body_width,
+            )
+            return hm.max(axis=1)[..., None]  # (B, S, S, 1) NHWC
+
+        if spec.remat:
+            render = jax.checkpoint(render)
+        mask = render(kps_ori[ck][:, 0, :, :2])
         reconstructed[ck] = mask
         outputs[f"mask_heatmap_line_{ck}"] = mask
 

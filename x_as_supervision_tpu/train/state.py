@@ -229,7 +229,9 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         )
         return state, total, losses, outputs
 
-    @functools.partial(jax.jit, static_argnames=("do_disc", "do_gen"))
+    @functools.partial(
+        jax.jit, static_argnames=("do_disc", "do_gen"), donate_argnums=(0,)
+    )
     def step(state: TrainState, batch: dict, rng: jax.Array,
              do_disc: bool = True, do_gen: bool = True):
         metrics: dict[str, Any] = {}

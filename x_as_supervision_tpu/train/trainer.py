@@ -1,0 +1,185 @@
+"""Training harness: run-dir management, epoch loop, GAN update cadence,
+TB logging, checkpointing.
+
+The loop mirrors the reference Trainer (reference: train.py:47-210):
+alternating disc/gen updates on the `update_interval` cadence, rank-0
+TensorBoard logging every step (images every 50), per-epoch LR decay
+(inside the optax schedules), checkpoints every `checkpoint_freq` epochs +
+the final epoch. On TPU the whole iteration is one jitted function; the
+host only drives data and logging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from shutil import copy as copy_file
+
+import jax
+import numpy as np
+
+from ..parallel import mesh as M
+from . import checkpoint as ckpt
+from .factory import build_gan_spec
+from .logging import create_writer, tb_vis
+from .state import (
+    TrainState,
+    init_train_state,
+    make_optimizers,
+    make_train_step,
+    multistep_schedule,
+)
+
+
+def create_run_dir(
+    log_root: str,
+    config_path: str,
+    seed: int,
+    extra_tag: str = "",
+    finetune: bool = False,
+    checkpoint_path: str | None = None,
+) -> str:
+    """log/<cfg>[_FINETUNE]_seed<y>_<tag><timestamp>/ with the config copied
+    in; resuming reuses the checkpoint's directory.
+    Reference: train.py:282-302."""
+    if checkpoint_path is not None and not finetune:
+        return os.path.dirname(os.path.abspath(checkpoint_path))
+    seed_tag = f"seed{seed if seed != -1 else '_rand'}_"
+    name = os.path.basename(config_path).split(".")[0]
+    if finetune:
+        name += "_FINETUNE"
+    stamp = time.strftime("%d_%m_%y_%H.%M.%S", time.gmtime())
+    run_dir = os.path.join(log_root, name + "_" + seed_tag + extra_tag + stamp)
+    if jax.process_index() == 0:
+        os.makedirs(run_dir, exist_ok=True)
+        dst = os.path.join(run_dir, os.path.basename(config_path))
+        if os.path.isfile(config_path) and not os.path.exists(dst):
+            copy_file(config_path, run_dir)
+    return run_dir
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: dict,
+        dataset,
+        save_dir: str,
+        checkpoint_path: str | None = None,
+        mode: str = "train",
+        seed: int = 0,
+        dtype=None,
+        profile_dir: str | None = None,
+    ):
+        import jax.numpy as jnp
+
+        self.config = config
+        self.dataset = dataset
+        self.save_dir = save_dir
+        self.profile_dir = profile_dir
+
+        tp = config["train_params"]
+        self.global_batch = tp["batch_size"]
+        self.local_batch, self.batch_offset = M.process_local_batch_slice(
+            self.global_batch
+        )
+        self.steps_per_epoch = max(1, len(dataset) // self.global_batch)
+        self.num_epochs = tp["num_epochs"]
+        self.ckpt_freq = tp.get("checkpoint_freq", 1)
+
+        self.spec = build_gan_spec(
+            config, dtype=dtype if dtype is not None else jnp.bfloat16
+        )
+        self.opt_det, self.opt_disc = make_optimizers(tp, self.steps_per_epoch)
+        self._lr_schedule = multistep_schedule(
+            float(tp["lr_kp_detector"]), tp.get("epoch_milestones", []),
+            self.steps_per_epoch,
+        )
+
+        # GAN cadence (reference: train.py:94-99).
+        interval = config["model_params"]["loss_config"].get(
+            "smpl_disc_loss", {}
+        ).get("update_interval", 1)
+        if interval >= 1:
+            self.disc_interval, self.gen_interval = int(interval), 1
+        else:
+            self.disc_interval, self.gen_interval = 1, int(round(1.0 / interval))
+
+        self.mesh = M.make_mesh()
+        self.seed = seed if seed != -1 else int(time.time()) % (2**31)
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        sample = dataset.device_batch(0, self.local_batch)
+        state = init_train_state(
+            self.spec, self.rng, sample, self.opt_det, self.opt_disc
+        )
+        self.epochs_run = 0
+        if checkpoint_path is not None:
+            if mode == "train":
+                state = ckpt.restore_resume(checkpoint_path, state)
+                self.epochs_run = int(state.epoch)
+                print(f"Resuming training from epoch {self.epochs_run}")
+            elif mode == "finetune":
+                state = ckpt.restore_finetune(checkpoint_path, state)
+                print("Finetuning from checkpoint (optimizers reset)")
+            else:
+                raise NotImplementedError(mode)
+        self.state = M.replicate_state(state, self.mesh)
+
+        self.step_fn = make_train_step(self.spec, self.opt_det, self.opt_disc)
+        self.tb_parent_ids = np.array(config["model_params"]["parent_ids"])
+        self.tb_pair_ids = np.array(config["model_params"]["flip_pairs"])
+
+    def _batches(self, epoch: int):
+        """Per-epoch batches: epoch-keyed shuffle + per-process shard (the
+        DistributedSampler equivalent; reference: train.py:153,278)."""
+        n = len(self.dataset)
+        order = np.random.default_rng(self.seed + epoch).permutation(n)
+        for start in range(0, self.steps_per_epoch * self.global_batch,
+                           self.global_batch):
+            idx = order[start : start + self.global_batch]
+            idx = idx[self.batch_offset : self.batch_offset + self.local_batch]
+            yield self.dataset.batch_from_indices(idx) if hasattr(
+                self.dataset, "batch_from_indices"
+            ) else self.dataset.device_batch(int(idx[0]), self.local_batch)
+
+    def train(self, tb_logger=None) -> None:
+        for epoch in range(self.epochs_run, self.num_epochs):
+            for it, batch in enumerate(self._batches(epoch)):
+                cur_step = epoch * self.steps_per_epoch + it
+                do_disc = (
+                    self.spec.discriminator is not None
+                    and cur_step % self.disc_interval == 0
+                )
+                do_gen = cur_step % self.gen_interval == 0
+                if not (do_disc or do_gen):
+                    continue
+
+                sharded = M.shard_batch(batch, self.mesh)
+                step_rng = jax.random.fold_in(self.rng, cur_step)
+                self.state, metrics, outputs = self.step_fn(
+                    self.state, sharded, step_rng,
+                    do_disc=do_disc, do_gen=do_gen,
+                )
+
+                if jax.process_index() == 0 and tb_logger is not None:
+                    loss_kp = {
+                        k.split("loss/", 1)[1]: v
+                        for k, v in metrics.items()
+                        if k.startswith("loss/")
+                    }
+                    tb_vis(
+                        tb_logger, cur_step, self.tb_pair_ids,
+                        self.tb_parent_ids,
+                        metrics.get("loss_total"), loss_kp,
+                        metrics.get("loss_disc"), outputs, batch, self.config,
+                        detector_lr=float(self._lr_schedule(cur_step)),
+                    )
+
+            self.state = self.state.replace(
+                epoch=self.state.epoch + 1
+            )
+            if jax.process_index() == 0 and (
+                epoch % self.ckpt_freq == 0 or epoch == self.num_epochs - 1
+            ):
+                path = ckpt.save_checkpoint(self.save_dir, epoch, self.state)
+                print(f"checkpoint saved: {path}")
