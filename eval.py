@@ -1,0 +1,62 @@
+"""Eval CLI.
+
+Same flags as the reference (reference: eval.py:341-409):
+  python eval.py --config <yaml> --checkpoint <ckpt_dir>
+                 [--multi_hypo best|confident] [--batch_size N]
+
+Loads the detector-only weights out of a composite train checkpoint
+(reference strips the 'regressor.' prefix at eval.py:310-313; our
+checkpoints store the detector tree directly), runs the jitted eval step
+per batch, and writes <ckpt_dir>/eval/eval_result.txt.
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+
+def main() -> None:
+    parser = ArgumentParser()
+    parser.add_argument("--config", required=True, help="path to config")
+    parser.add_argument("--log_dir", default="log", help="path to log into")
+    parser.add_argument("--checkpoint", default=None,
+                        help="path to checkpoint to restore")
+    parser.add_argument("--batch_size", default=None, type=int)
+    parser.add_argument("--worker", default=10, type=int)
+    parser.add_argument("--extra_tag", default=" ")
+    parser.add_argument("--multi_hypo", default="best",
+                        choices=["best", "confident"],
+                        help="multi-hypothesis eval mode")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="evaluate on the in-memory synthetic fixture")
+    opt = parser.parse_args()
+
+    if opt.checkpoint is None:
+        raise SystemExit("Must specify checkpoint path")
+    log_dir = os.path.dirname(os.path.abspath(opt.checkpoint))
+
+    from x_as_supervision_tpu.config import apply_overrides, load_config
+    from x_as_supervision_tpu.train import checkpoint as ckpt
+    from x_as_supervision_tpu.train.evaluator import Evaluator
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+
+    import jax.numpy as jnp
+
+    config = load_config(opt.config)
+    config = apply_overrides(config, opt.batch_size, None)
+
+    spec = build_gan_spec(config, dtype=jnp.bfloat16)
+    det_params, det_stats = ckpt.restore_detector(opt.checkpoint)
+    det_vars = {"params": det_params, "batch_stats": det_stats}
+
+    from train import build_dataset
+
+    dataset = build_dataset(config, opt.synthetic, eval_only=True)
+    evaluator = Evaluator(config, spec.detector, det_vars, dataset, log_dir)
+    tables = evaluator.eval(mode=opt.multi_hypo)
+    evaluator.record(*tables)
+
+
+if __name__ == "__main__":
+    main()
