@@ -16,6 +16,7 @@ vs_baseline >= 1.0 means the north star target is met under that estimate.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -30,6 +31,13 @@ ITERS = 10
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the fused step is a large XLA program
+    # and the axon remote-compile path is slow; cache hits make reruns fast.
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_config
