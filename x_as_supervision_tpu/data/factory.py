@@ -1,0 +1,113 @@
+"""Dataset factory: config -> dataset instance.
+
+Mirrors the reference's basic_data (reference: train_util.py:16-106) with
+two deliberate fixes noted in SURVEY.md §7.5:
+  * dataset classes resolve through an explicit registry instead of
+    eval(name + "_Dataset");
+  * index builders resolve through a registry instead of getattr on a
+    module (the reference's __all__ dict was vestigial).
+"""
+
+from __future__ import annotations
+
+from . import hm36 as hm36_mod
+from . import mpi_inf_3dhp as mpi_mod
+from . import mpii as mpii_mod
+from .pipeline import (
+    PatchDataset,
+    hm36_Dataset,
+    mpi_inf_3dhp_Dataset,
+    mpi_inf_3dhp_hm36_Dataset,
+)
+
+IMDB_REGISTRY = {
+    "hm36": hm36_mod.hm36,
+    "human36": hm36_mod.hm36,
+    "mpi_inf_3dhp": mpi_mod.mpi_inf_3dhp,
+    "mpii": mpii_mod.mpii,
+}
+
+DATASET_REGISTRY = {
+    "hm36": hm36_Dataset,
+    "mpi_inf_3dhp": mpi_inf_3dhp_Dataset,
+    "mpi_inf_3dhp_hm36": mpi_inf_3dhp_hm36_Dataset,
+}
+
+
+def _build_imdb(name: str, ds_cfg: dict, train_param: dict, image_set: str,
+                use_full_kp: bool):
+    cls = IMDB_REGISTRY[name]
+    return cls(
+        image_set,
+        ds_cfg["path"],
+        train_param["patch_width"],
+        train_param["patch_height"],
+        train_param["rect_3d_width"],
+        train_param["rect_3d_height"],
+        ds_cfg.get("extra_param", ""),
+        init_mode=use_full_kp,
+    )
+
+
+def basic_data(config: dict, eval_only: bool = False, seed: int = 0):
+    dataset_param = config["dataset_params"]
+    train_param = config["train_params"]
+
+    use_full_kp = dataset_param.get("use_full_kp", False)
+    cam_id_list = dataset_param["cam_id_list"]
+    geodesic_pt_list = dataset_param.get("geodesic_pt_list", [0])
+    geodesic_param_list = dataset_param.get(
+        "geodesic_param_list", [2.0, 1.0, 2.0, 1.0, 0.0]
+    )
+    rm_bg = dataset_param.get("rm_bg", False)
+    smpl_pseudo_img = dataset_param.get("smpl_pseudo_img")
+    name = dataset_param["dataset"]["name"]
+    convert_to_17kps = name == "mpi_inf_3dhp"
+
+    common = dict(
+        patch_width=train_param["patch_width"],
+        patch_height=train_param["patch_height"],
+        rect_3d_width=train_param["rect_3d_width"],
+        rect_3d_height=train_param["rect_3d_height"],
+        batch_size=train_param["batch_size"],
+        mean=dataset_param["dataiter"]["mean"],
+        std=dataset_param["dataiter"]["std"],
+        aug_config=train_param.get("aug", {}),
+        label_func=None,
+        cam_id_list=cam_id_list,
+        geodesic_pt_list=geodesic_pt_list,
+        geodesic_param_list=geodesic_param_list,
+        rm_bg=rm_bg,
+        seed=seed,
+    )
+
+    if not eval_only:
+        if "+" in name:
+            # multi-dataset mix, e.g. 'mpi_inf_3dhp+hm36'
+            parts = name.split("+")
+            imdbs = [
+                _build_imdb(
+                    p, dataset_param["dataset"][p], train_param,
+                    dataset_param["dataset"][p]["train_image_set"],
+                    use_full_kp,
+                )
+                for p in parts
+            ]
+            cls = DATASET_REGISTRY[name.replace("+", "_")]
+            return cls(imdbs, True, smpl_pseudo_img=smpl_pseudo_img, **common)
+        imdb = _build_imdb(
+            name, dataset_param["dataset"], train_param,
+            dataset_param["dataset"]["train_image_set"], use_full_kp,
+        )
+        cls = DATASET_REGISTRY[name]
+        return cls([imdb], True, smpl_pseudo_img=smpl_pseudo_img, **common)
+
+    imdb = _build_imdb(
+        name, dataset_param["dataset"], train_param,
+        dataset_param["dataset"]["test_image_set"], use_full_kp,
+    )
+    cls = DATASET_REGISTRY[name]
+    return cls(
+        [imdb], False, smpl_pseudo_img=None,
+        convert_to_17kps=convert_to_17kps, **common,
+    )
