@@ -83,6 +83,8 @@ def test_fused_train_step_runs_on_8_device_mesh():
     sharded = M.shard_batch(batch, mesh)
 
     step = make_train_step(spec, opt_det, opt_disc)
+    # the jitted step donates the input state; snapshot what we compare
+    det_params_before = jax.device_get(state.det_params)
     state2, metrics, outputs = step(
         state, sharded, jax.random.PRNGKey(1), do_disc=True, do_gen=True
     )
@@ -101,9 +103,9 @@ def test_fused_train_step_runs_on_8_device_mesh():
     delta = jax.tree.reduce(
         lambda a, b: a + b,
         jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).sum()),
-            state.det_params,
-            state2.det_params,
+            lambda a, b: float(jnp.abs(jnp.asarray(a) - b).sum()),
+            det_params_before,
+            jax.device_get(state2.det_params),
         ),
     )
     assert delta > 0
@@ -134,6 +136,7 @@ def test_gen_only_step_variant():
         spec, jax.random.PRNGKey(0), batch, opt_det, opt_disc
     )
     step = make_train_step(spec, opt_det, opt_disc)
+    disc_before = jax.device_get(state.disc_params)
     state2, metrics, _ = step(
         state, batch, jax.random.PRNGKey(1), do_disc=False, do_gen=True
     )
@@ -141,9 +144,9 @@ def test_gen_only_step_variant():
     # disc params untouched by a gen-only step
     same = jax.tree.all(
         jax.tree.map(
-            lambda a, b: bool(jnp.all(a == b)),
-            state.disc_params,
-            state2.disc_params,
+            lambda a, b: bool((jnp.asarray(a) == b).all()),
+            disc_before,
+            jax.device_get(state2.disc_params),
         )
     )
     assert same

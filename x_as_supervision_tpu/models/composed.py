@@ -3,24 +3,33 @@
 Pure-functional equivalents of the reference's Counter3DModel /
 Counter3DDisc wrappers (reference: modules/model.py:24-264): given module
 definitions, parameter/stat pytrees, and a batch dict, return the gated loss
-menu and visualization outputs. Everything here traces into a single jitted
+menu and visualization outputs. Everything traces into a single jitted
 train step; the config-driven gating is static Python.
 
-BatchNorm statistics are threaded sequentially through the detector
-forwards in the same order the reference executes them, so the running-stat
-trajectory matches torch.
+TPU-first restructuring (vs the reference's per-camera Python loops):
+the camera axis is folded into the batch axis, so each phase runs ONE
+detector forward over (num_cams * B) images instead of num_cams sequential
+forwards (reference modules/model.py:62-69 loops cameras). With equal-sized
+camera groups every loss value is algebraically identical (sum over cameras
+of per-camera means == num_cams * global mean); the only deviation is
+BatchNorm batch statistics, which normalize over all cameras jointly rather
+than per camera — documented here as the intended SyncBN generalization
+(the reference's own statistics already depend on world size). The pseudo
+stream keeps its own forward so its render statistics do not mix with real
+images.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import geometry as G
 from ..ops import losses as L
+from ..ops.integral import IntegralDecode
 
 
 def cal_links(parent_ids, line_select_ids=None, use_root=False, extension=True):
@@ -91,18 +100,22 @@ def _active_cams(spec: GanSpec, batch: dict):
     return spec.cam_id_list
 
 
-def _detector_apply(spec, det_vars, img, rng, train):
-    """One detector forward, returning decode + updated batch stats.
+def _stack_cam_images(batch: dict, cams, suffix: str) -> jax.Array:
+    """(C*B, H, W, 3) stack of per-camera images, camera-major."""
+    imgs = [batch[f"cam_{c}_{suffix}"] for c in cams]
+    return jnp.concatenate(imgs, axis=0)
+
+
+def _detector_apply(spec, det_vars, img, train):
+    """One (camera-batched) detector forward + updated batch stats.
 
     Under `spec.remat` the forward is wrapped in jax.checkpoint: the step
-    runs the detector up to 8x per iteration (4 cameras + 4 pseudo views,
-    reference modules/model.py:62-69,145-164), and storing each forward's
-    activations — in particular the (B, 64, 64, K, 64) softmax volume — for
-    the backward pass exceeds HBM. Rematerialization trades one recompute
-    per forward for an ~8x activation-memory reduction.
+    runs the detector up to 3x per iteration on (C*B)-sized batches, and
+    storing each forward's activations — in particular the
+    (CB, 64, 64, K, 64) softmax volume — for the backward pass exceeds HBM.
+    Rematerialization trades one recompute per forward for the activation
+    memory of all but one forward.
     """
-    del rng  # the detector has no dropout; rngs are for the discriminator
-
     if not train:
         return spec.detector.apply(det_vars, img, train=False), det_vars
 
@@ -118,17 +131,19 @@ def _detector_apply(spec, det_vars, img, rng, train):
     kps, depth_map, new_stats = fwd(
         det_vars["params"], det_vars.get("batch_stats", {}), img
     )
-    from ..ops.integral import IntegralDecode
-
     return IntegralDecode(kps, depth_map), {
         "params": det_vars["params"],
         "batch_stats": new_stats,
     }
 
 
-def _vmap_hypo(fn, kps_h):
-    """Apply fn over the hypothesis axis of (B, H, K, C) -> (H, ...)."""
-    return jax.vmap(fn, in_axes=1)(kps_h)
+def _disc_apply(spec, disc_params, kps_flat, rng, train):
+    """One (fully batched) discriminator forward on (N, K, dim) poses."""
+    rngs = {"dropout": rng} if train else None
+    return spec.discriminator.apply(
+        {"params": disc_params}, kps_flat[..., : spec.disc_sup_dim],
+        train=train, rngs=rngs,
+    )
 
 
 def generator_forward(
@@ -151,40 +166,54 @@ def generator_forward(
         stop_gradient'ed poses (reference detaches at modules/model.py:128 —
         its gradient reaches only the discriminator, which the reference's
         leftover-grad accumulation folds into the *next* disc update; see
-        train/trainer.py for that bookkeeping);
+        train/state.py for that bookkeeping);
       * smpl_pseudo_img: detector on pseudo renders, min-over-hypo MSE;
       * physique_recons / recons: mask reconstruction on the line render.
     """
     cams = _active_cams(spec, batch)
+    nc = len(cams)
     loss_cfg = spec.loss_config
     losses: dict[str, jax.Array] = {}
     outputs: dict[str, jax.Array] = {}
+    k_gen, k_rot, k_pseudo = jax.random.split(rng, 3)
 
-    rngs = jax.random.split(rng, 8 * max(len(cams), 1) + 8)
-    rng_i = iter(range(len(rngs)))
+    # --- one detector forward over all cameras ---
+    imgs = _stack_cam_images(batch, cams, "img")
+    b = imgs.shape[0] // nc
+    decode, det_vars = _detector_apply(spec, det_vars, imgs, train)
+    kps_all = decode.kps.reshape(nc, b, *decode.kps.shape[1:])  # (C,B,H,K,3)
+    nh = kps_all.shape[2]
 
-    kps_ori = {}
+    kps_ori = {f"cam_{c}": kps_all[i] for i, c in enumerate(cams)}
     kps_world = {}
-    for cam in cams:
+    for i, cam in enumerate(cams):
         ck = f"cam_{cam}"
-        decode, det_vars = _detector_apply(
-            spec, det_vars, batch[f"{ck}_img"], rngs[next(rng_i)], train
-        )
-        kps = decode.kps  # (B, H, K, 3)
-        kps_ori[ck] = kps
-        outputs[f"pose_2d_pred_{ck}_ori"] = kps[:1, 0]
-        outputs[f"depth_map_{ck}"] = decode.depth_prob_map
+        outputs[f"pose_2d_pred_{ck}_ori"] = kps_all[i, :1, 0]
+        if i == 0:
+            outputs[f"depth_map_{ck}"] = decode.depth_prob_map
 
+        # fold hypotheses into the batch axis for the world lift: (B, H)
+        # reshapes sample-major, so each camera row repeats nh times.
+        rep = lambda x: jnp.repeat(x, nh, axis=0)
+        cam_params = {
+            f"{ck}_trans_image": rep(batch[f"{ck}_trans_image"]),
+            f"{ck}_img": batch[f"{ck}_img"],
+            f"{ck}_pelvis": rep(batch[f"{ck}_pelvis"]),
+            f"{ck}_k_mat": rep(batch[f"{ck}_k_mat"]),
+            f"{ck}_trans_world": rep(batch[f"{ck}_trans_world"]),
+            f"{ck}_rot_world": rep(batch[f"{ck}_rot_world"]),
+        }
+        kps_bh = kps_all[i].reshape(b * nh, *kps_all.shape[3:])
         if cam == "mono":
-            lift = lambda k: G.convert_patch_to_world(
-                k, batch, ck, is_norm=True, rect_width=256.0, mono=True,
-                patch=False,
+            world = G.convert_patch_to_world(
+                kps_bh, cam_params, ck, is_norm=True, rect_width=256.0,
+                mono=True, patch=False,
             )
         else:
-            lift = lambda k: G.convert_patch_to_world(
-                k, batch, ck, is_norm=True
+            world = G.convert_patch_to_world(
+                kps_bh, cam_params, ck, is_norm=True
             )
-        kps_world[ck] = _vmap_hypo(lift, kps).transpose(1, 0, 2, 3)
+        kps_world[ck] = world.reshape(b, nh, *world.shape[1:])
         outputs[f"pose_3d_depth_{ck}"] = kps_world[ck][:, 0]
 
     if "mono" not in cams:
@@ -192,25 +221,27 @@ def generator_forward(
             batch["cam_0_joints"], batch, "cam_0", is_norm=False
         )[:1]
 
-    # Skeleton line rendering from hypothesis 0 (multi-hypo only differs in
-    # z, so one render per camera suffices; reference modules/model.py:88-96).
-    reconstructed = {}
-    for cam in cams:
-        ck = f"cam_{cam}"
-        img_side = batch[f"{ck}_img"].shape[-2]
-        def render(kps2d):
-            hm = G.draw_lines(
-                kps2d, img_side,
-                spec.render_parent_ids, spec.render_child_ids,
-                spec.body_width,
-            )
-            return hm.max(axis=1)[..., None]  # (B, S, S, 1) NHWC
+    # --- one line render over all cameras (hypothesis 0 xy only;
+    #     reference modules/model.py:88-96) ---
+    img_side = batch[f"cam_{cams[0]}_img"].shape[-2]
+    kps2d_all = kps_all[:, :, 0, :, :2].reshape(nc * b, -1, 2)
 
-        if spec.remat:
-            render = jax.checkpoint(render)
-        mask = render(kps_ori[ck][:, 0, :, :2])
-        reconstructed[ck] = mask
-        outputs[f"mask_heatmap_line_{ck}"] = mask
+    def render(kps2d):
+        hm = G.draw_lines(
+            kps2d, img_side, spec.render_parent_ids, spec.render_child_ids,
+            spec.body_width,
+        )
+        return hm.max(axis=1)[..., None]  # (CB, S, S, 1)
+
+    if spec.remat:
+        render = jax.checkpoint(render)
+    masks_all = render(kps2d_all)
+    reconstructed = {
+        f"cam_{c}": masks_all[i * b : (i + 1) * b]
+        for i, c in enumerate(cams)
+    }
+    for cam in cams:
+        outputs[f"mask_heatmap_line_cam_{cam}"] = reconstructed[f"cam_{cam}"][:1]
 
     if "symmetry_loss" in loss_cfg:
         w = loss_cfg["symmetry_loss"]["weight"]
@@ -237,62 +268,49 @@ def generator_forward(
         losses["symmetry"] = loss_sym
 
     if "smpl_gen_loss" in loss_cfg and disc_params is not None:
-        loss_gen = 0.0
-        for cam in cams:
-            ck = f"cam_{cam}"
-            pred_world = kps_world[ck]
-            pred_world = (pred_world - pred_world[:, :, :1, :]) / 1000.0
-
-            def disc_apply(kps):
-                return spec.discriminator.apply(
-                    {"params": disc_params}, kps, train=train,
-                    rngs={"dropout": rngs[next(rng_i)]} if train else None,
-                )
-
-            detached = jax.lax.stop_gradient(
-                pred_world[..., : spec.disc_sup_dim]
+        # normalized root-centered world poses, all cams x hypos in one
+        # disc forward; loss = sum over cams of per-cam LSGAN gen loss
+        # == nc * global mean of the min-over-hypo terms.
+        pw = jnp.stack([kps_world[f"cam_{c}"] for c in cams])  # (C,B,H,K,3)
+        pw = (pw - pw[:, :, :, :1, :]) / 1000.0
+        flat = pw.reshape(nc * b * nh, *pw.shape[3:])
+        detached = jax.lax.stop_gradient(flat)
+        logits = _disc_apply(spec, disc_params, detached, k_gen, train)
+        logits = logits.reshape(nc * b, nh, 1)
+        if not spec.use_aug:
+            loss_gen = L.compute_disc_loss(logits, None) * nc
+        else:
+            loss_gen = L.compute_disc_loss(logits, None) * nc * 0.7
+            rot = G.random_rotation_3d(
+                k_rot, pw.reshape(nc * b * nh, *pw.shape[3:])
             )
-            logits = jax.vmap(disc_apply, in_axes=1, out_axes=1)(detached)
-            if not spec.use_aug:
-                loss_gen = loss_gen + L.compute_disc_loss(logits, None)
-            else:
-                loss_gen = loss_gen + L.compute_disc_loss(logits, None) * 0.7
-                rot = jax.vmap(
-                    lambda k, key=rngs[next(rng_i)]: G.random_rotation_3d(
-                        key, k
-                    ),
-                    in_axes=1, out_axes=1,
-                )(pred_world)
-                logits_rot = jax.vmap(disc_apply, in_axes=1, out_axes=1)(
-                    rot[..., : spec.disc_sup_dim]
-                )
-                loss_gen = loss_gen + L.compute_disc_loss(logits_rot, None) * 0.3
+            logits_rot = _disc_apply(spec, disc_params, rot, k_rot, train)
+            logits_rot = logits_rot.reshape(nc * b, nh, 1)
+            loss_gen = loss_gen + L.compute_disc_loss(logits_rot, None) * nc * 0.3
         losses["smpl_gen"] = loss_gen * loss_cfg["smpl_gen_loss"]["weight"]
 
     if "smpl_pseudo_img_loss" in loss_cfg:
-        loss_pseudo = 0.0
-        for cam in cams:
-            ck = f"cam_{cam}"
-            decode, det_vars = _detector_apply(
-                spec, det_vars, batch[f"{ck}_pseudo_img"],
-                rngs[next(rng_i)], train,
-            )
-            pseudo_pred = decode.kps
-            pseudo_gt = batch[f"{ck}_pseudo_joints"]
+        pseudo_imgs = _stack_cam_images(batch, cams, "pseudo_img")
+        decode_p, det_vars = _detector_apply(spec, det_vars, pseudo_imgs, train)
+        pred_all = decode_p.kps.reshape(nc, b, nh, *decode_p.kps.shape[2:])
 
-            outputs[f"pose_2d_pred_{ck}_pseudo"] = pseudo_pred[:1, 0]
-            mono_lift = lambda k: G.convert_patch_to_world(
+        loss_pseudo = 0.0
+        for i, cam in enumerate(cams):
+            ck = f"cam_{cam}"
+            pseudo_gt = batch[f"{ck}_pseudo_joints"]
+            pred = pred_all[i]  # (B, H, K, 3)
+
+            outputs[f"pose_2d_pred_{ck}_pseudo"] = pred[:1, 0]
+            mono_lift = lambda k, ck=ck: G.convert_patch_to_world(
                 k, batch, ck, is_norm=True, rect_width=256.0, mono=True,
                 patch=False,
             )
-            outputs[f"pose_3d_pred_{ck}_pseudo"] = mono_lift(
-                pseudo_pred[:, 0]
-            )[:1]
+            outputs[f"pose_3d_pred_{ck}_pseudo"] = mono_lift(pred[:, 0])[:1]
             outputs[f"pose_3d_gt_{ck}_pseudo"] = mono_lift(pseudo_gt)[:1]
 
             per_hypo = jax.vmap(
-                lambda p: L.compute_supervision(p, pseudo_gt), in_axes=1
-            )(pseudo_pred)
+                lambda p, g=pseudo_gt: L.compute_supervision(p, g), in_axes=1
+            )(pred)
             loss_pseudo = loss_pseudo + per_hypo.min()
         losses["smpl_pseudo_img"] = (
             loss_pseudo * loss_cfg["smpl_pseudo_img_loss"]["weight"]
@@ -300,40 +318,37 @@ def generator_forward(
 
     if "physique_recons_loss" in loss_cfg and spec.physique is not None:
         use_dis = loss_cfg["physique_recons_loss"]["use_dis_map"]
-        loss_phy = 0.0
-        for cam in cams:
-            ck = f"cam_{cam}"
-            if train:
-                phy_mask, mutated = spec.physique.apply(
-                    phys_vars, reconstructed[ck], train=True,
-                    mutable=["batch_stats"],
-                )
-                phys_vars = {**phys_vars, "batch_stats": mutated["batch_stats"]}
-            else:
-                phy_mask = spec.physique.apply(
-                    phys_vars, reconstructed[ck], train=False
-                )
-            outputs[f"mask_physique_{ck}"] = phy_mask[:1]
-            loss_phy = loss_phy + L.compute_mask_reconstruction_loss(
-                phy_mask,
-                batch[f"{ck}_mask"],
-                weight=batch[f"{ck}_geodesic_dis"] if use_dis else None,
+        # one physique forward over all cameras
+        if train:
+            phy_all, mutated = spec.physique.apply(
+                phys_vars, masks_all, train=True, mutable=["batch_stats"],
             )
+            phys_vars = {**phys_vars, "batch_stats": mutated["batch_stats"]}
+        else:
+            phy_all = spec.physique.apply(phys_vars, masks_all, train=False)
+
+        gt_masks = _stack_cam_images(batch, cams, "mask")
+        weight = (
+            _stack_cam_images(batch, cams, "geodesic_dis") if use_dis else None
+        )
+        for i, cam in enumerate(cams):
+            outputs[f"mask_physique_cam_{cam}"] = phy_all[i * b : i * b + 1]
+        loss_phy = L.compute_mask_reconstruction_loss(
+            phy_all, gt_masks, weight=weight
+        ) * nc
         losses["physique_recons"] = (
             loss_phy * loss_cfg["physique_recons_loss"]["weight"]
         )
 
     if "recons_loss" in loss_cfg:
         use_dis = loss_cfg["recons_loss"]["use_dis_map"]
-        loss_rec = 0.0
-        for cam in cams:
-            ck = f"cam_{cam}"
-            loss_rec = loss_rec + L.compute_mask_reconstruction_loss(
-                reconstructed[ck],
-                batch[f"{ck}_mask"],
-                weight=batch[f"{ck}_geodesic_dis"] if use_dis else None,
-                use_clip=True,
-            )
+        gt_masks = _stack_cam_images(batch, cams, "mask")
+        weight = (
+            _stack_cam_images(batch, cams, "geodesic_dis") if use_dis else None
+        )
+        loss_rec = L.compute_mask_reconstruction_loss(
+            masks_all, gt_masks, weight=weight, use_clip=True
+        ) * nc
         losses["reconstruction"] = loss_rec * loss_cfg["recons_loss"]["weight"]
 
     return losses, outputs, det_vars, phys_vars
@@ -351,56 +366,59 @@ def discriminator_forward(
     data stream, fake = detector predictions (stop-gradient).
 
     Returns (loss, outputs, new_det_vars).
-    Reference: modules/model.py:218-264.
+    Reference: modules/model.py:218-264; camera axis batched as in
+    generator_forward (loss values identical, see module docstring).
     """
     cams = _active_cams(spec, batch)
+    nc = len(cams)
     outputs: dict[str, jax.Array] = {}
-    loss_disc = 0.0
+    k_fake, k_real, k_rot, k_rlogit = jax.random.split(rng, 4)
 
-    rngs = jax.random.split(rng, 8 * max(len(cams), 1) + 8)
-    rng_i = iter(range(len(rngs)))
+    imgs = _stack_cam_images(batch, cams, "img")
+    b = imgs.shape[0] // nc
+    decode, det_vars = _detector_apply(spec, det_vars, imgs, train)
+    pred = jax.lax.stop_gradient(decode.kps)  # (CB, H, K, 3)
+    nh = pred.shape[1]
 
-    for cam in cams:
+    smpl_joints = jnp.concatenate(
+        [batch[f"cam_{c}_pseudo_joints"] for c in cams], axis=0
+    )  # (CB, K, 3)
+
+    pred_logits = _disc_apply(
+        spec, disc_params, pred.reshape(nc * b * nh, *pred.shape[2:]),
+        k_fake, train,
+    ).reshape(nc * b, nh, 1)
+    smpl_logits = _disc_apply(spec, disc_params, smpl_joints, k_real, train)
+
+    for i, cam in enumerate(cams):
         ck = f"cam_{cam}"
-        decode, det_vars = _detector_apply(
-            spec, det_vars, batch[f"{ck}_img"], rngs[next(rng_i)], train
+        outputs[f"pose_smpl_2d_{ck}"] = smpl_joints[i * b : i * b + 1]
+        outputs[f"smpl_logits_{ck}"] = smpl_logits[i * b : i * b + 1]
+        outputs[f"pred_logits_{ck}"] = pred_logits[i * b : i * b + 1, 0]
+
+    # world lift of the pseudo joints (vis + rotation augmentation source)
+    world_blocks = []
+    for i, cam in enumerate(cams):
+        ck = f"cam_{cam}"
+        w = G.convert_patch_to_world(
+            batch[f"{ck}_pseudo_joints"], batch, ck, is_norm=True,
+            rect_width=256.0, mono=True, patch=False,
         )
-        pred = jax.lax.stop_gradient(decode.kps)  # (B, H, K, 3)
+        world_blocks.append(w)
+        outputs[f"pose_smpl_3d_{ck}"] = w[:1]
+    smpl_world = jnp.concatenate(world_blocks, axis=0)
 
-        smpl_joints = batch[f"{ck}_pseudo_joints"]
-        smpl_world = G.convert_patch_to_world(
-            smpl_joints, batch, ck, is_norm=True, rect_width=256.0,
-            mono=True, patch=False,
+    if spec.use_aug:
+        rot = G.random_rotation_3d(k_rot, smpl_world)
+        for i, cam in enumerate(cams):
+            outputs[f"pose_smpl_3d_cam_{cam}_rot"] = rot[i * b : i * b + 1]
+        rot_logits = _disc_apply(spec, disc_params, rot, k_rlogit, train)
+        loss = (
+            L.compute_disc_loss(pred_logits, smpl_logits) * nc * 0.6
+            + L.compute_disc_loss(rot_logits, None) * nc * 0.4
         )
-        outputs[f"pose_smpl_2d_{ck}"] = smpl_joints[:1]
-        outputs[f"pose_smpl_3d_{ck}"] = smpl_world[:1]
+    else:
+        loss = L.compute_disc_loss(pred_logits, smpl_logits) * nc
 
-        def disc_apply(kps):
-            return spec.discriminator.apply(
-                {"params": disc_params}, kps, train=train,
-                rngs={"dropout": rngs[next(rng_i)]} if train else None,
-            )
-
-        pred_logits = jax.vmap(disc_apply, in_axes=1, out_axes=1)(
-            pred[..., : spec.disc_sup_dim]
-        )  # (B, H, 1)
-        smpl_logits = disc_apply(smpl_joints[..., : spec.disc_sup_dim])
-
-        outputs[f"smpl_logits_{ck}"] = smpl_logits[:1]
-        outputs[f"pred_logits_{ck}"] = pred_logits[:1, 0]
-
-        if spec.use_aug:
-            rot = G.random_rotation_3d(rngs[next(rng_i)], smpl_world)
-            outputs[f"pose_smpl_3d_{ck}_rot"] = rot[:1]
-            rot_logits = disc_apply(rot[..., : spec.disc_sup_dim])
-            loss_disc = loss_disc + L.compute_disc_loss(
-                pred_logits, smpl_logits
-            ) * 0.6
-            loss_disc = loss_disc + L.compute_disc_loss(rot_logits, None) * 0.4
-        else:
-            loss_disc = loss_disc + L.compute_disc_loss(
-                pred_logits, smpl_logits
-            )
-
-    loss_disc = loss_disc * spec.loss_config["smpl_disc_loss"]["weight"]
-    return loss_disc, outputs, det_vars
+    loss = loss * spec.loss_config["smpl_disc_loss"]["weight"]
+    return loss, outputs, det_vars
