@@ -24,6 +24,7 @@ except Exception:  # pragma: no cover
 
 from . import affine as AF
 from .geodesic import compute_geodesic_dis
+from .loader import BatchAssembly
 
 TIKTOK_TRAIN_VIDEOS = [
     34, 35, 36, 37, 40, 42, 43, 44, 45, 58, 59, 61, 62, 63, 76, 77, 104, 107,
@@ -120,7 +121,7 @@ def _identity_camera(out: dict) -> None:
     out["cam_mono_trans_world"] = np.zeros(3, np.float32)
 
 
-class TikTok_dataset:
+class TikTok_dataset(BatchAssembly):
     """Video-frame mono dataset. Reference: dataloader_2d.py:89-230."""
 
     def __init__(self, data_path, geodesic_param_list, smpl_pseudo_img,
@@ -194,7 +195,7 @@ class TikTok_dataset:
         return len(self.data_db)
 
 
-class mpii_dataset:
+class mpii_dataset(BatchAssembly):
     """MPII validation mono dataset. Reference: dataloader_2d.py:234-276."""
 
     def __init__(self, database, mode="valid"):

@@ -17,6 +17,41 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+class BatchAssembly:
+    """Mixin: batch assembly over `self.sample(i)` for any dataset."""
+
+    _HOST_ONLY_SUFFIXES = ("_img_path", "_geodesic_center")
+
+    def batch_from_indices(self, indices) -> dict:
+        samples = [self.sample(int(i)) for i in indices]
+        out = {}
+        for key in samples[0]:
+            if key == "act" or key.endswith(self._HOST_ONLY_SUFFIXES) or \
+                    isinstance(samples[0][key], str):
+                continue
+            out[key] = np.stack([np.asarray(s[key]) for s in samples])
+        return out
+
+    def batch(self, start: int, batch_size: int) -> dict:
+        n = len(self)
+        idx = [(start + i) % n for i in range(batch_size)]
+        samples = [self.sample(i) for i in idx]
+        out = {}
+        for key in samples[0]:
+            if key.endswith(self._HOST_ONLY_SUFFIXES):
+                continue
+            if key == "act" or isinstance(samples[0][key], str):
+                out[key] = [s[key] for s in samples]
+            else:
+                out[key] = np.stack([np.asarray(s[key]) for s in samples])
+        return out
+
+    def device_batch(self, start: int, batch_size: int) -> dict:
+        b = self.batch(start, batch_size)
+        return {k: v for k, v in b.items()
+                if not (k == "act" or isinstance(v, list))}
+
+
 class BatchLoader:
     def __init__(
         self,

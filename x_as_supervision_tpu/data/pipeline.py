@@ -30,6 +30,7 @@ except Exception:  # pragma: no cover
 from . import affine as AF
 from .augment import do_augmentation
 from .geodesic import compute_geodesic_dis
+from .loader import BatchAssembly
 from .mpi_inf_3dhp import from_mpi_inf_3dhp_to_hm36
 
 
@@ -115,7 +116,7 @@ def generate_patch_sample_data(
     return img_patch, mask_patch, joints, trans
 
 
-class PatchDataset:
+class PatchDataset(BatchAssembly):
     """Multi-camera patch dataset over a pickle-cached index db.
 
     Reference: dataloader.py:94-246 (incl. db padding to a batch multiple
@@ -285,37 +286,6 @@ class PatchDataset:
 
     def __len__(self):
         return self.db_length
-
-    # ---- batch assembly (host -> device boundary) ----
-
-    _HOST_ONLY_SUFFIXES = ("_img_path", "_geodesic_center")
-
-    def batch_from_indices(self, indices) -> dict:
-        samples = [self.sample(int(i)) for i in indices]
-        out = {}
-        for key in samples[0]:
-            if key == "act" or key.endswith(self._HOST_ONLY_SUFFIXES):
-                continue
-            out[key] = np.stack([s[key] for s in samples])
-        return out
-
-    def batch(self, start: int, batch_size: int) -> dict:
-        idx = [(start + i) % self.db_length for i in range(batch_size)]
-        samples = [self.sample(i) for i in idx]
-        out = {}
-        for key in samples[0]:
-            if key.endswith(self._HOST_ONLY_SUFFIXES):
-                continue
-            if key == "act":
-                out[key] = [s[key] for s in samples]
-            else:
-                out[key] = np.stack([s[key] for s in samples])
-        return out
-
-    def device_batch(self, start: int, batch_size: int) -> dict:
-        b = self.batch(start, batch_size)
-        b.pop("act", None)
-        return b
 
 
 class hm36_Dataset(PatchDataset):
