@@ -82,25 +82,28 @@ def draw_lines(
     child_ids = jnp.asarray(child_ids, dtype=jnp.int32)
     num_lines = int(parent_ids.shape[0])
 
-    start = keypoints[:, child_ids, :]  # (B, L, 2)
-    end = keypoints[:, parent_ids, :]  # (B, L, 2)
-    seg = end - start  # (B, L, 2)
+    # TPU layout note: x/y stay in SEPARATE (B, L, P) arrays. A trailing
+    # coordinate axis of size 2 would be padded to the 128-lane tile,
+    # inflating every (B, L, P, 2) intermediate 64x in VMEM/HBM traffic;
+    # component-wise arrays keep the pixel axis on the lanes instead.
+    sx = keypoints[:, child_ids, 0][..., None]  # start, (B, L, 1)
+    sy = keypoints[:, child_ids, 1][..., None]
+    ex = keypoints[:, parent_ids, 0][..., None]  # end
+    ey = keypoints[:, parent_ids, 1][..., None]
+    vx, vy = ex - sx, ey - sy  # bone vector
 
-    grid = make_coordinate_grid(image_size, image_size, keypoints.dtype)
-    grid = grid.reshape(1, 1, -1, 2)  # (1, 1, S*S, 2)
+    coord = jnp.linspace(-1.0, 1.0, image_size, dtype=keypoints.dtype)
+    gx = jnp.tile(coord, image_size).reshape(1, 1, -1)  # (1, 1, P)
+    gy = jnp.repeat(coord, image_size).reshape(1, 1, -1)
 
-    d_start = grid - start[:, :, None, :]  # (B, L, P, 2)
-    # Projection parameter of each pixel onto the (infinite) bone line.
-    t = jnp.einsum("blpc,blc->blp", d_start, seg, precision=_PREC) / (
-        1e-8 + jnp.sum(seg * seg, axis=-1, keepdims=True)
-    )
+    dsx, dsy = gx - sx, gy - sy  # pixel - start
+    t = (dsx * vx + dsy * vy) / (1e-8 + vx * vx + vy * vy)
 
-    d_end = grid - end[:, :, None, :]
-    sq_start = jnp.sum(d_start * d_start, axis=-1)
-    sq_end = jnp.sum(d_end * d_end, axis=-1)
-    foot = start[:, :, None, :] + t[..., None] * seg[:, :, None, :]
-    diff_foot = grid - foot
-    sq_foot = jnp.sum(diff_foot * diff_foot, axis=-1)
+    dex, dey = gx - ex, gy - ey
+    sq_start = dsx * dsx + dsy * dsy
+    sq_end = dex * dex + dey * dey
+    fx, fy = dsx - t * vx, dsy - t * vy  # pixel - foot of perpendicular
+    sq_foot = fx * fx + fy * fy
 
     sq = jnp.where(t <= 0.0, sq_start, jnp.where(t >= 1.0, sq_end, sq_foot))
     sq = sq.reshape(keypoints.shape[0], num_lines, image_size, image_size)

@@ -230,10 +230,17 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         return state, total, losses, outputs
 
     @functools.partial(
-        jax.jit, static_argnames=("do_disc", "do_gen"), donate_argnums=(0,)
+        jax.jit,
+        static_argnames=("do_disc", "do_gen", "with_outputs"),
+        donate_argnums=(0,),
     )
     def step(state: TrainState, batch: dict, rng: jax.Array,
-             do_disc: bool = True, do_gen: bool = True):
+             do_disc: bool = True, do_gen: bool = True,
+             with_outputs: bool = True):
+        # with_outputs=False drops the visualization outputs from the
+        # compiled program: they are only consumed by the image panels every
+        # 50 steps, and returning them every step costs real host<->device
+        # bandwidth.
         metrics: dict[str, Any] = {}
         outputs: dict[str, Any] = {}
         k_disc, k_gen = jax.random.split(rng)
@@ -241,14 +248,16 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         if do_disc and has_disc:
             state, loss_disc, disc_out = _disc_update(state, batch, k_disc)
             metrics["loss_disc"] = loss_disc
-            outputs.update(disc_out)
+            if with_outputs:
+                outputs.update(disc_out)
 
         if do_gen:
             state, total, losses, gen_out = _gen_update(state, batch, k_gen)
             metrics["loss_total"] = total
             for name, val in losses.items():
                 metrics[f"loss/{name}"] = jnp.mean(val)
-            outputs.update(gen_out)
+            if with_outputs:
+                outputs.update(gen_out)
 
         state = state.replace(step=state.step + 1)
         return state, metrics, outputs

@@ -156,9 +156,13 @@ class Trainer:
 
                 sharded = M.shard_batch(batch, self.mesh)
                 step_rng = jax.random.fold_in(self.rng, cur_step)
+                want_outputs = (
+                    jax.process_index() == 0 and cur_step % 50 == 0
+                )
                 self.state, metrics, outputs = self.step_fn(
                     self.state, sharded, step_rng,
                     do_disc=do_disc, do_gen=do_gen,
+                    with_outputs=want_outputs,
                 )
 
                 if jax.process_index() == 0 and tb_logger is not None:
