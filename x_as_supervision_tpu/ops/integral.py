@@ -28,6 +28,12 @@ class IntegralDecode(NamedTuple):
     depth_prob_map: Array  # (K, D) z-marginal of batch element 0 (for vis)
 
 
+def _auto_pallas(use_pallas: bool | None) -> bool:
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def heatmap_marginals(logits: Array, num_joints: int) -> tuple[Array, Array, Array]:
     """Softmax the (B, H, W, K*D) head output over each joint's D*H*W volume
     and return the three axis marginals accu_x (B,K,W), accu_y (B,K,H),
@@ -58,14 +64,25 @@ def _expectation(marginal: Array) -> Array:
     return (marginal * idx).sum(axis=-1)
 
 
-def decode_single(logits: Array, num_joints: int) -> IntegralDecode:
+def _marginals(logits: Array, num_joints: int, use_pallas: bool | None):
+    """Dispatch: fused Pallas kernel on TPU (one HBM pass), XLA elsewhere."""
+    if _auto_pallas(use_pallas):
+        from .integral_pallas import heatmap_marginals_pallas
+
+        return heatmap_marginals_pallas(logits, num_joints)
+    return heatmap_marginals(logits, num_joints)
+
+
+def decode_single(
+    logits: Array, num_joints: int, use_pallas: bool | None = None
+) -> IntegralDecode:
     """Single-hypothesis integral decode -> kps (B, 1, K, 3) in [-1, 1].
 
     Reference: keypoint_detector_integral.py:21-65. Note the reference
     normalizes x by H and y by W (identical when H == W == D, which all
     shipped configs use); we keep per-axis sizes.
     """
-    accu_x, accu_y, accu_z = heatmap_marginals(logits, num_joints)
+    accu_x, accu_y, accu_z = _marginals(logits, num_joints, use_pallas)
     h, w = logits.shape[1], logits.shape[2]
     d = logits.shape[3] // num_joints
 
@@ -108,13 +125,14 @@ def _window_sums(x: Array, window: int) -> Array:
 
 
 def decode_multi(
-    logits: Array, num_joints: int, num_hypo: int, neighbor_size: int
+    logits: Array, num_joints: int, num_hypo: int, neighbor_size: int,
+    use_pallas: bool | None = None,
 ) -> IntegralDecode:
     """Multi-hypothesis decode: shared x/y expectations, per-peak windowed
     z expectations -> kps (B, num_hypo, K, 3) where hypothesis 0 is the most
     confident peak. Reference: keypoint_detector_integral_multi.py:36-88.
     """
-    accu_x, accu_y, accu_z = heatmap_marginals(logits, num_joints)
+    accu_x, accu_y, accu_z = _marginals(logits, num_joints, use_pallas)
     h, w = logits.shape[1], logits.shape[2]
     d = logits.shape[3] // num_joints
 

@@ -22,6 +22,7 @@ from ..parallel import mesh as M
 from . import checkpoint as ckpt
 from .factory import build_gan_spec
 from .logging import create_writer, tb_vis
+from .profiling import Profiler, StepTimer
 from .state import (
     TrainState,
     init_train_state,
@@ -128,6 +129,11 @@ class Trainer:
         self.step_fn = make_train_step(self.spec, self.opt_det, self.opt_disc)
         self.tb_parent_ids = np.array(config["model_params"]["parent_ids"])
         self.tb_pair_ids = np.array(config["model_params"]["flip_pairs"])
+        self.profiler = Profiler.from_config(config, save_dir)
+        self.timer = StepTimer()
+        self.images_per_step = self.global_batch * max(
+            len(self.spec.cam_id_list), 1
+        )
 
     def _batches(self, epoch: int):
         """Per-epoch batches: epoch-keyed shuffle + per-process shard (the
@@ -154,6 +160,7 @@ class Trainer:
                 if not (do_disc or do_gen):
                     continue
 
+                self.profiler.maybe_start(cur_step)
                 sharded = M.shard_batch(batch, self.mesh)
                 step_rng = jax.random.fold_in(self.rng, cur_step)
                 want_outputs = (
@@ -164,6 +171,11 @@ class Trainer:
                     do_disc=do_disc, do_gen=do_gen,
                     with_outputs=want_outputs,
                 )
+
+                self.profiler.maybe_stop(cur_step)
+                self.timer.tick()
+                if cur_step % 50 == 0:
+                    self.timer.log(tb_logger, cur_step, self.images_per_step)
 
                 if jax.process_index() == 0 and tb_logger is not None:
                     loss_kp = {
@@ -187,3 +199,4 @@ class Trainer:
             ):
                 path = ckpt.save_checkpoint(self.save_dir, epoch, self.state)
                 print(f"checkpoint saved: {path}")
+        self.profiler.close()
