@@ -52,10 +52,14 @@ def main() -> None:
 
     from train import build_dataset
 
+    from x_as_supervision_tpu.train.logging import create_writer
+
     dataset = build_dataset(config, opt.synthetic, eval_only=True)
     evaluator = Evaluator(config, spec.detector, det_vars, dataset, log_dir)
-    tables = evaluator.eval(mode=opt.multi_hypo)
+    tb_logger = create_writer(os.path.join(log_dir, "eval", "tensorboard"))
+    tables = evaluator.eval(mode=opt.multi_hypo, tb_log=tb_logger)
     evaluator.record(*tables)
+    tb_logger.close()
 
 
 if __name__ == "__main__":

@@ -133,6 +133,23 @@ def sym_normalize(adj: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return adj * inv_sqrt[..., :, None] * inv_sqrt[..., None, :]
 
 
+class _StatelessBN(nn.Module):
+    """Per-channel batch normalization over (batch, node) with learned
+    affine and no running statistics (see GCNDiscriminator.maybe_bn)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=(0, 1), keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=(0, 1), keepdims=True)
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        c = x.shape[-1]
+        return y * self.param(
+            "scale", nn.initializers.ones, (c,)
+        ) + self.param("bias", nn.initializers.zeros, (c,))
+
+
 class FFNHeader(nn.Module):
     """Linear -> ReLU -> Dropout -> Linear(1).
     Reference: modules/discriminator.py:8-21."""
@@ -289,6 +306,16 @@ class GCNDiscriminator(nn.Module):
         adj_norm = self._adjacency(keypoints)
         x = nn.Dense(self.input_dim, name="input")(keypoints)
 
+        def maybe_bn(y):
+            # reference: SyncBatchNorm over node features when use_bn
+            # (modules/gcn.py:57-59, 66-75). Implemented statelessly
+            # (batch statistics + learned affine, no running averages): the
+            # discriminator never runs at eval time, and stateless batch
+            # stats under GSPMD are exactly the cross-replica statistics.
+            if not self.use_bn:
+                return y
+            return _StatelessBN()(y)
+
         if self.variant == "simple_gcn":
             x = nn.relu(DenseGCNLayer(self.hidden_dim)(x, adj_norm))
             x = nn.relu(DenseGCNLayer(self.hidden_dim)(x, adj_norm))
@@ -297,10 +324,10 @@ class GCNDiscriminator(nn.Module):
             for _ in range(self.num_layers):
                 res = x
                 y = DenseGCNLayer(self.hidden_dim)(x, adj_norm)
-                y = nn.relu(y)
+                y = nn.relu(maybe_bn(y))
                 y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
                 y = DenseGCNLayer(self.hidden_dim)(y, adj_norm)
-                y = nn.relu(y)
+                y = nn.relu(maybe_bn(y))
                 y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
                 x = y + res
             x = nn.relu(DenseGCNLayer(self.output_dim)(x, adj_norm))

@@ -212,3 +212,19 @@ class ResPoseNet(nn.Module):
         return DeconvHead(
             self.num_joints, self.depth_dim, dtype=self.dtype, name="head"
         )(x, train)
+
+
+class AvgPoolHead(nn.Module):
+    """Global-average-pool + FC head (unused by the shipped entry points but
+    part of the reference's head menu).
+    Reference: modules/integral_base_modules/avg_pool_head.py:3-12."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.out_channels, dtype=self.dtype)(x).astype(
+            jnp.float32
+        )

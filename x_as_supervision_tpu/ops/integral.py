@@ -29,8 +29,13 @@ class IntegralDecode(NamedTuple):
 
 
 def _auto_pallas(use_pallas: bool | None) -> bool:
+    # Measured on the v5e bench chip (B=64, K=18, 64^3): the XLA decode is
+    # faster than the Pallas kernel (9.6 vs 20.0 ms fwd) — the (B, K) grid
+    # of 1 MB tiles plus the layout transpose pipelines worse than XLA's
+    # fused reductions. The kernel stays available for experimentation;
+    # default is the XLA path.
     if use_pallas is None:
-        return jax.default_backend() == "tpu"
+        return False
     return use_pallas
 
 

@@ -51,15 +51,26 @@ def _bwd_kernel(vol_ref, gx_ref, gy_ref, gz_ref, dvol_ref):
     x = vol_ref[0, 0].astype(jnp.float32)  # (H, W, D)
     m = jnp.max(x)
     e = jnp.exp(x - m)
-    p = e * (1.0 / jnp.sum(e))
+    total = jnp.sum(e)
+    p = e * (1.0 / total)
 
-    gx = gx_ref[0]  # (1, W)
-    gy = gy_ref[0]  # (1, H)
-    gz = gz_ref[0]  # (1, D)
-    g_sum = (
-        gy.reshape(-1, 1, 1) + gx.reshape(1, -1, 1) + gz.reshape(1, 1, -1)
+    h, w, d = x.shape
+    # Build g_sum with Mosaic-friendly broadcasts (broadcast_in_dim from
+    # 2-D operands; reshapes that move data across sublane/lane boundaries
+    # crash the Mosaic layout pass).
+    gy3 = jax.lax.broadcast_in_dim(gy_ref[0].T, (h, w, d), (0, 1))
+    gx3 = jax.lax.broadcast_in_dim(gx_ref[0], (h, w, d), (0, 1))
+    gz3 = jax.lax.broadcast_in_dim(gz_ref[0], (h, w, d), (1, 2))
+    g_sum = gy3 + gx3 + gz3
+    # <p, g_sum> decomposes onto the forward marginals: sum(p * g) =
+    # gy . ay + gx . ax + gz . az.
+    ax = jnp.sum(p, axis=(0,)).sum(axis=1, keepdims=True).T  # (1, W)
+    ay = jnp.sum(p, axis=(1,)).sum(axis=1, keepdims=True).T  # (1, H)
+    az = jnp.sum(p, axis=(0,)).sum(axis=0, keepdims=True)  # (1, D)
+    inner = (
+        jnp.sum(gx_ref[0] * ax) + jnp.sum(gy_ref[0] * ay)
+        + jnp.sum(gz_ref[0] * az)
     )
-    inner = jnp.sum(p * g_sum)
     dvol_ref[0, 0] = (p * (g_sum - inner)).astype(dvol_ref.dtype)
 
 

@@ -26,6 +26,7 @@ import numpy as np
 from ..ops import geometry as G
 from . import eval_utils as EU
 from . import metrics as MET
+from . import vis
 
 
 def _new_tables(cal_per_act: bool):
@@ -178,18 +179,33 @@ class Evaluator:
                 counts["pck"] += 1
                 counts["auc"] += 1
 
-    def eval(self, mode: str = "best", tb_log=None):
+    def eval(self, mode: str = "best", tb_log=None,
+             tb_pair_ids=None, tb_parent_ids=None):
         (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt) = _new_tables(
             self.cal_per_act
         )
         ambiguity = 0.0
+        if tb_pair_ids is None:
+            tb_pair_ids = np.array(
+                self.config["model_params"].get("flip_pairs", [])
+            )
+        if tb_parent_ids is None:
+            tb_parent_ids = np.array(
+                self.config["model_params"].get("parent_ids", [])
+            )
 
         for b in range(self.num_batches):
             batch = self.dataset.batch(b * self.batch_size, self.batch_size)
             act_tags = batch.pop("act", ["act_02"] * self.batch_size)
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            dev = {k: jnp.asarray(v) for k, v in batch.items()
+                   if not isinstance(v, list)}
             out = self._device_step(self.det_vars, dev, mode=mode)
             out = jax.device_get(out)
+
+            if tb_log is not None:
+                self._log_batch_images(
+                    tb_log, b, batch, out, tb_pair_ids, tb_parent_ids
+                )
 
             # 2D error per camera (reference eval.py:161-166).
             for cam_id in self.cam_id_list:
@@ -223,6 +239,46 @@ class Evaluator:
 
         self._tables = (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity)
         return self._tables
+
+    def _log_batch_images(self, tb_log, step, batch, out, pair_ids,
+                          parent_ids):
+        """Per-batch pred/GT pose panels + 3D plots, first sample only
+        (reference: eval.py:152-158,178-199)."""
+        mean = self.config["dataset_params"].get("dataiter", {}).get("mean")
+        std = self.config["dataset_params"].get("dataiter", {}).get("std")
+        gt_world = np.asarray(out["kps_world_gt"])
+        tb_log.add_image(
+            "testing_pose_3D/gt",
+            vis.pose_vis_3d(gt_world[0], pair_ids, parent_ids), step,
+        )
+        tb_log.add_image(
+            "testing_pose_3D/pred_tri",
+            vis.pose_vis_3d(np.asarray(out["tri"])[0], pair_ids, parent_ids,
+                            ref_keypoints=gt_world[0]), step,
+        )
+        for cam_id in self.cam_id_list:
+            ck = f"cam_{cam_id}"
+            img = np.asarray(batch[f"{ck}_img"][0])
+            pred2d = np.asarray(out["kp_pred_2d"][ck])[0]
+            gt2d = np.asarray(out["gts_2d"][ck])[0][:, :2]
+            size = img.shape[:2]
+            tb_log.add_image(
+                f"testing_pred_pose/{ck}_pred_pose_v2",
+                vis.pose_vis(pred2d, size, pair_ids, parent_ids, img=img,
+                             mean=mean, std=std), step,
+            )
+            tb_log.add_image(
+                f"testing_gt_pose/{ck}_gt_pose_v2",
+                vis.pose_vis(gt2d, size, pair_ids, parent_ids, img=img,
+                             mean=mean, std=std), step,
+            )
+            tb_log.add_image(
+                f"testing_pose_3D/pred_{ck}",
+                vis.pose_vis_3d(
+                    np.asarray(out["per_cam_world"][ck])[0], pair_ids,
+                    parent_ids, ref_keypoints=gt_world[0],
+                ), step,
+            )
 
     # ---------------- reporting ----------------
 
