@@ -65,6 +65,9 @@ def main() -> None:
                         help="train on the in-memory synthetic fixture")
     parser.add_argument("--fp32", action="store_true",
                         help="disable bfloat16 compute")
+    parser.add_argument("--backbone_init", default=None,
+                        help="converted ImageNet backbone npz "
+                             "(tools/convert_torch_resnet)")
     opt = parser.parse_args()
 
     from x_as_supervision_tpu.config import apply_overrides, load_config
@@ -83,9 +86,22 @@ def main() -> None:
     from x_as_supervision_tpu.train.logging import create_writer
     from x_as_supervision_tpu.train.trainer import Trainer, create_run_dir
 
+    checkpoint = opt.checkpoint
+    if checkpoint == "auto":
+        # convenience resume: newest checkpoint of the newest run of this
+        # config under --log_dir (crash-restart without bookkeeping)
+        import glob
+
+        from x_as_supervision_tpu.train.checkpoint import latest_checkpoint
+
+        name = os.path.basename(opt.config).split(".")[0]
+        runs = sorted(glob.glob(os.path.join(opt.log_dir, name + "_*")))
+        checkpoint = latest_checkpoint(runs[-1]) if runs else None
+        print(f"auto-resume from {checkpoint}")
+
     save_dir = create_run_dir(
         opt.log_dir, opt.config, opt.seed, opt.extra_tag, opt.finetune,
-        opt.checkpoint,
+        checkpoint,
     )
     tb_logger = (
         create_writer(os.path.join(save_dir, "tensorboard"))
@@ -98,10 +114,11 @@ def main() -> None:
         config,
         dataset,
         save_dir,
-        checkpoint_path=opt.checkpoint,
+        checkpoint_path=checkpoint,
         mode="finetune" if opt.finetune else "train",
         seed=opt.seed,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
+        backbone_init=opt.backbone_init,
     )
     trainer.train(tb_logger)
     if tb_logger is not None:

@@ -70,6 +70,7 @@ class Trainer:
         seed: int = 0,
         dtype=None,
         profile_dir: str | None = None,
+        backbone_init: str | None = None,
     ):
         import jax.numpy as jnp
 
@@ -113,6 +114,24 @@ class Trainer:
         state = init_train_state(
             self.spec, self.rng, sample, self.opt_det, self.opt_disc
         )
+        backbone_init = backbone_init or config["model_params"].get(
+            "detector_params", {}
+        ).get("backbone_init")
+        if backbone_init:
+            # ImageNet initialization from a converted torchvision
+            # checkpoint (offline; reference loads the model zoo at
+            # construction, network.py:46-54).
+            from ..tools.convert_torch_resnet import load_npz_into_variables
+
+            det_vars = load_npz_into_variables(
+                backbone_init,
+                {"params": state.det_params, "batch_stats": state.det_stats},
+            )
+            state = state.replace(
+                det_params=det_vars["params"],
+                det_stats=det_vars["batch_stats"],
+            )
+            print(f"backbone initialized from {backbone_init}")
         self.epochs_run = 0
         if checkpoint_path is not None:
             if mode == "train":
