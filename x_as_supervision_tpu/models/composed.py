@@ -69,6 +69,7 @@ class GanSpec:
     disc_sup_dim: int = 3
     use_aug: bool = False
     remat: bool = True
+    fuse_gan_step: bool = True
 
     @staticmethod
     def from_config(model_params, detector, discriminator, physique):
@@ -89,6 +90,8 @@ class GanSpec:
             body_width=float(model_params.get("body_width", 3.0)) * 1e-3,
             disc_sup_dim=disc_params.get("disc_sup_dim", 3),
             use_aug=disc_params.get("use_aug", False),
+            remat=model_params.get("remat", True),
+            fuse_gan_step=model_params.get("fuse_gan_step", True),
         )
 
 
@@ -154,6 +157,7 @@ def generator_forward(
     batch: dict,
     rng: jax.Array,
     train: bool = True,
+    return_cam_decode: bool = False,
 ):
     """Generator-side loss menu.
 
@@ -351,6 +355,8 @@ def generator_forward(
         ) * nc
         losses["reconstruction"] = loss_rec * loss_cfg["recons_loss"]["weight"]
 
+    if return_cam_decode:
+        return losses, outputs, det_vars, phys_vars, decode
     return losses, outputs, det_vars, phys_vars
 
 
@@ -361,6 +367,7 @@ def discriminator_forward(
     batch: dict,
     rng: jax.Array,
     train: bool = True,
+    precomputed_decode=None,
 ):
     """Discriminator-side LSGAN loss: real = pseudo SMPL joints from the
     data stream, fake = detector predictions (stop-gradient).
@@ -374,9 +381,18 @@ def discriminator_forward(
     outputs: dict[str, jax.Array] = {}
     k_fake, k_real, k_rot, k_rlogit = jax.random.split(rng, 4)
 
-    imgs = _stack_cam_images(batch, cams, "img")
-    b = imgs.shape[0] // nc
-    decode, det_vars = _detector_apply(spec, det_vars, imgs, train)
+    b = batch[f"cam_{cams[0]}_img"].shape[0]
+    if precomputed_decode is None:
+        imgs = _stack_cam_images(batch, cams, "img")
+        decode, det_vars = _detector_apply(spec, det_vars, imgs, train)
+    else:
+        # Fused GAN step: reuse the generator phase's detector forward. In
+        # train mode BatchNorm normalizes by the batch's own statistics, so
+        # the discriminator-phase forward of the same batch under the same
+        # parameters is numerically identical (the reference's duplicate
+        # forward only double-updates the eval-time running averages;
+        # reference train.py:161-190).
+        decode = precomputed_decode
     pred = jax.lax.stop_gradient(decode.kps)  # (CB, H, K, 3)
     nh = pred.shape[1]
 

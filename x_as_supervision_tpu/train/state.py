@@ -145,6 +145,13 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
     """
 
     has_disc = spec.discriminator is not None
+    # Fused path: when both updates run in the same iteration, the
+    # disc phase reuses the gen phase's detector forward (see
+    # models/composed.py discriminator_forward docstring). The gen losses
+    # then see the pre-update discriminator parameters — a one-iteration
+    # lag on the smpl_gen term only (whose detector gradient is zero in
+    # all shipped configs due to the reference's detach).
+    fuse = getattr(spec, "fuse_gan_step", True) and has_disc
 
     def _disc_update(state: TrainState, batch, rng):
         def loss_fn(disc_params):
@@ -229,6 +236,93 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         )
         return state, total, losses, outputs
 
+    def _fused_update(state: TrainState, batch, k_disc, k_gen, with_outputs):
+        metrics: dict[str, Any] = {}
+        outputs: dict[str, Any] = {}
+
+        def gen_loss_fn(gen_params, disc_params):
+            det_vars = {
+                "params": gen_params["detector"],
+                "batch_stats": state.det_stats,
+            }
+            phys_vars = (
+                {
+                    "params": gen_params["physique"],
+                    "batch_stats": state.phys_stats,
+                }
+                if spec.physique is not None
+                else None
+            )
+            losses, gouts, det_vars2, phys_vars2, decode = generator_forward(
+                spec, det_vars, phys_vars, disc_params, batch, k_gen,
+                train=True, return_cam_decode=True,
+            )
+            total = jnp.asarray(0.0)
+            for v in losses.values():
+                total = total + jnp.mean(v)
+            aux = (
+                losses, gouts, det_vars2["batch_stats"],
+                phys_vars2["batch_stats"] if phys_vars2 else {},
+                jax.lax.stop_gradient(decode),
+            )
+            return total, aux
+
+        gen_params = {
+            "detector": state.det_params,
+            "physique": state.phys_params,
+        }
+        grad_fn = jax.value_and_grad(gen_loss_fn, argnums=(0, 1), has_aux=True)
+        (total, aux), (g_gen, g_disc_from_gen) = grad_fn(
+            gen_params, state.disc_params
+        )
+        losses, gouts, det_stats, phys_stats, decode = aux
+
+        # Discriminator update (reference order: disc before gen, using the
+        # same-forward predictions).
+        def disc_loss_fn(disc_params):
+            det_vars = {
+                "params": state.det_params,
+                "batch_stats": state.det_stats,
+            }
+            loss, douts, _ = discriminator_forward(
+                spec, disc_params, det_vars, batch, k_disc, train=True,
+                precomputed_decode=decode,
+            )
+            return loss, douts
+
+        (loss_disc, douts), grads_disc = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.disc_params)
+        grads_disc = jax.tree.map(
+            jnp.add, grads_disc, state.pending_disc_grads
+        )
+        d_updates, d_opt = opt_disc.update(
+            grads_disc, state.opt_disc, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        g_updates, g_opt = opt_det.update(g_gen, state.opt_det, gen_params)
+        new_gen = optax.apply_updates(gen_params, g_updates)
+
+        state = state.replace(
+            det_params=new_gen["detector"],
+            phys_params=new_gen["physique"],
+            disc_params=disc_params,
+            opt_det=g_opt,
+            opt_disc=d_opt,
+            det_stats=det_stats,
+            phys_stats=phys_stats,
+            pending_disc_grads=g_disc_from_gen,
+        )
+        metrics["loss_disc"] = loss_disc
+        metrics["loss_total"] = total
+        for name, val in losses.items():
+            metrics[f"loss/{name}"] = jnp.mean(val)
+        if with_outputs:
+            outputs.update(douts)
+            outputs.update(gouts)
+        return state, metrics, outputs
+
     @functools.partial(
         jax.jit,
         static_argnames=("do_disc", "do_gen", "with_outputs"),
@@ -245,19 +339,24 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         outputs: dict[str, Any] = {}
         k_disc, k_gen = jax.random.split(rng)
 
-        if do_disc and has_disc:
-            state, loss_disc, disc_out = _disc_update(state, batch, k_disc)
-            metrics["loss_disc"] = loss_disc
-            if with_outputs:
-                outputs.update(disc_out)
+        if do_disc and do_gen and fuse:
+            state, metrics, outputs = _fused_update(
+                state, batch, k_disc, k_gen, with_outputs
+            )
+        else:
+            if do_disc and has_disc:
+                state, loss_disc, disc_out = _disc_update(state, batch, k_disc)
+                metrics["loss_disc"] = loss_disc
+                if with_outputs:
+                    outputs.update(disc_out)
 
-        if do_gen:
-            state, total, losses, gen_out = _gen_update(state, batch, k_gen)
-            metrics["loss_total"] = total
-            for name, val in losses.items():
-                metrics[f"loss/{name}"] = jnp.mean(val)
-            if with_outputs:
-                outputs.update(gen_out)
+            if do_gen:
+                state, total, losses, gen_out = _gen_update(state, batch, k_gen)
+                metrics["loss_total"] = total
+                for name, val in losses.items():
+                    metrics[f"loss/{name}"] = jnp.mean(val)
+                if with_outputs:
+                    outputs.update(gen_out)
 
         state = state.replace(step=state.step + 1)
         return state, metrics, outputs
