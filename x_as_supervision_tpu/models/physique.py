@@ -17,6 +17,33 @@ import jax.numpy as jnp
 from .resnet import _BN, _KAIMING
 
 
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Fixed 2x bilinear upsample (align_corners=False), NHWC.
+
+    Equivalent to torch nn.Upsample(scale_factor=2, mode='bilinear')
+    (reference: modules/physique_network.py:31) and to
+    jax.image.resize(..., 'bilinear') at exactly 2x, but written as an
+    edge-padded separable stencil (even rows: 0.25*prev + 0.75*cur; odd:
+    0.75*cur + 0.25*next) so XLA emits fused adds instead of gathers.
+    """
+    def up_axis(v, axis):
+        lo = jnp.take(v, jnp.maximum(jnp.arange(v.shape[axis]) - 1, 0),
+                      axis=axis)
+        hi = jnp.take(
+            v,
+            jnp.minimum(jnp.arange(v.shape[axis]) + 1, v.shape[axis] - 1),
+            axis=axis,
+        )
+        even = 0.25 * lo + 0.75 * v
+        odd = 0.75 * v + 0.25 * hi
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = v.shape[axis] * 2
+        return stacked.reshape(new_shape)
+
+    return up_axis(up_axis(x, 1), 2)
+
+
 class PhysiqueMaskGenerator(nn.Module):
     num_features: Sequence[int]  # e.g. (32, 64, 128)
     num_parts: int = 1
@@ -41,8 +68,7 @@ class PhysiqueMaskGenerator(nn.Module):
         # Decoder mirrors: conv -> bilinear x2 -> conv.
         for i in range(len(nf) - 1, 0, -1):
             x = self._conv(x, nf[i], 1, train)
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+            x = upsample2x_bilinear(x)
             x = self._conv(x, nf[i - 1], 1, train)
         x = nn.Conv(
             1, (3, 3), padding=1, dtype=self.dtype, kernel_init=_KAIMING
