@@ -24,7 +24,7 @@ import numpy as np
 A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
 NORTH_STAR = 3.0 * A100_EST_IMG_S
 
-GLOBAL_BATCH = 16
+GLOBAL_BATCH = 32
 WARMUP = 3
 ITERS = 10
 
