@@ -22,9 +22,11 @@ def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent to torch nn.Upsample(scale_factor=2, mode='bilinear')
     (reference: modules/physique_network.py:31) and to
-    jax.image.resize(..., 'bilinear') at exactly 2x, but written as an
-    edge-padded separable stencil (even rows: 0.25*prev + 0.75*cur; odd:
-    0.75*cur + 0.25*next) so XLA emits fused adds instead of gathers.
+    jax.image.resize(..., 'bilinear') at exactly 2x. Kept for reference /
+    CPU paths; measured SLOWER than jax.image.resize on the v5e bench chip
+    (90 vs 49 ms for the physique fwd+bwd at B=64) because the interleaving
+    stack+reshape crosses sublane boundaries, so the production module uses
+    jax.image.resize.
     """
     def up_axis(v, axis):
         lo = jnp.take(v, jnp.maximum(jnp.arange(v.shape[axis]) - 1, 0),
@@ -68,7 +70,8 @@ class PhysiqueMaskGenerator(nn.Module):
         # Decoder mirrors: conv -> bilinear x2 -> conv.
         for i in range(len(nf) - 1, 0, -1):
             x = self._conv(x, nf[i], 1, train)
-            x = upsample2x_bilinear(x)
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
             x = self._conv(x, nf[i - 1], 1, train)
         x = nn.Conv(
             1, (3, 3), padding=1, dtype=self.dtype, kernel_init=_KAIMING
