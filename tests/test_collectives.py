@@ -1,0 +1,51 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from x_as_supervision_tpu.parallel import collectives as C
+from x_as_supervision_tpu.parallel import mesh as M
+
+
+def test_shard_map_psum_and_pmean():
+    mesh = M.make_mesh()
+    n = mesh.shape[M.DATA_AXIS]
+    x = jnp.arange(n * 4, dtype=jnp.float32).reshape(n * 4)
+
+    def fn(v):
+        return C.psum_data(v.sum()), C.pmean_data(v.sum())
+
+    total, mean = C.data_parallel_shard_map(
+        fn, mesh, in_specs=P(M.DATA_AXIS), out_specs=(P(), P())
+    )(x)
+    np.testing.assert_allclose(float(total), float(x.sum()))
+    np.testing.assert_allclose(float(mean), float(x.sum()) / n)
+
+
+def test_all_gather_and_ring_permute():
+    mesh = M.make_mesh()
+    n = mesh.shape[M.DATA_AXIS]
+    x = jnp.arange(n, dtype=jnp.float32)
+
+    def fn(v):
+        gathered = C.all_gather_data(v)
+        shifted = C.ppermute_ring(v)
+        return gathered, shifted
+
+    gathered, shifted = C.data_parallel_shard_map(
+        fn, mesh, in_specs=P(M.DATA_AXIS),
+        out_specs=(P(M.DATA_AXIS), P(M.DATA_AXIS)),
+    )(x)
+    # each shard gathered the full vector -> output tiled n times
+    np.testing.assert_allclose(
+        np.asarray(gathered), np.tile(np.asarray(x), n)
+    )
+    # ring shift by one: shard i's value lands on shard i+1
+    np.testing.assert_allclose(
+        np.asarray(shifted), np.roll(np.asarray(x), 1)
+    )
+
+
+def test_cross_host_mean_single_process_identity():
+    tree = {"a": 1.0, "b": [2.0, 3.0]}
+    assert C.cross_host_mean(tree) == tree
