@@ -90,7 +90,7 @@ class GanSpec:
             body_width=float(model_params.get("body_width", 3.0)) * 1e-3,
             disc_sup_dim=disc_params.get("disc_sup_dim", 3),
             use_aug=disc_params.get("use_aug", False),
-            remat=model_params.get("remat", True),
+            remat=model_params.get("remat", True) is True,
             fuse_gan_step=model_params.get("fuse_gan_step", True),
         )
 

@@ -11,9 +11,11 @@ modules/keypoint_detector_integral_multi.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import integral
@@ -22,12 +24,18 @@ from .resnet import ResPoseNet
 
 class KPDetector3D(nn.Module):
     """Single-hypothesis integral detector.
-    Reference: modules/keypoint_detector_integral.py:6-65."""
+    Reference: modules/keypoint_detector_integral.py:6-65.
+
+    remat_decode: recompute the softmax-volume decode in the backward pass
+    (selective rematerialization — the (B, H, W, K, D) volume dominates
+    activation memory while the decode itself is ~2 ms; lets large batches
+    keep full conv activations)."""
 
     num_kp: int = 18
     depth_dim: int = 64
     num_layers: int = 50
     dtype: Any = jnp.float32
+    remat_decode: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True):
@@ -35,13 +43,19 @@ class KPDetector3D(nn.Module):
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             name="net",
         )(img, train)
-        return integral.decode_single(logits, self.num_kp)
+        decode = functools.partial(integral.decode_single,
+                                   num_joints=self.num_kp)
+        if self.remat_decode:
+            decode = jax.checkpoint(decode)
+        return decode(logits)
 
 
 class KPDetector3DMulti(nn.Module):
     """Multi-hypothesis integral detector: shared x/y soft-argmax, depth
     hypotheses from 1-D peak finding + windowed expectation.
-    Reference: modules/keypoint_detector_integral_multi.py:6-88."""
+    Reference: modules/keypoint_detector_integral_multi.py:6-88.
+
+    remat_decode: see KPDetector3D."""
 
     num_kp: int = 18
     depth_dim: int = 64
@@ -49,6 +63,7 @@ class KPDetector3DMulti(nn.Module):
     neighbor_size: int = 15
     num_layers: int = 50
     dtype: Any = jnp.float32
+    remat_decode: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True):
@@ -56,17 +71,21 @@ class KPDetector3DMulti(nn.Module):
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             name="net",
         )(img, train)
-        return integral.decode_multi(
-            logits, self.num_kp, self.num_hypo, self.neighbor_size
+        decode = functools.partial(
+            integral.decode_multi, num_joints=self.num_kp,
+            num_hypo=self.num_hypo, neighbor_size=self.neighbor_size,
         )
+        if self.remat_decode:
+            decode = jax.checkpoint(decode)
+        return decode(logits)
 
 
-def build_detector(detector_params: dict, dtype=jnp.float32):
+def build_detector(detector_params: dict, dtype=jnp.float32,
+                   remat_decode: bool = False):
     """Factory keyed on config name, mirroring the reference's dispatch
     (reference: train.py:214-217)."""
     p = dict(detector_params)
     name = p.pop("name")
-    p.pop("num_layers", None)
     if name == "resnet_multi":
         return KPDetector3DMulti(
             num_kp=p["num_kp"],
@@ -75,10 +94,12 @@ def build_detector(detector_params: dict, dtype=jnp.float32):
             neighbor_size=p["neighbor_size"],
             num_layers=detector_params.get("num_layers", 50),
             dtype=dtype,
+            remat_decode=remat_decode,
         )
     return KPDetector3D(
         num_kp=p["num_kp"],
         depth_dim=p["depth_dim"],
         num_layers=detector_params.get("num_layers", 50),
         dtype=dtype,
+        remat_decode=remat_decode,
     )

@@ -22,7 +22,14 @@ from ..models import smpl as smpl_mod
 
 def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
     mp = config["model_params"]
-    detector = build_detector(mp["detector_params"], dtype=dtype)
+    # remat policy: True = checkpoint whole detector forwards; "decode" =
+    # checkpoint only the softmax-volume decode (keeps conv activations);
+    # False = none.
+    remat_cfg = mp.get("remat", True)
+    detector = build_detector(
+        mp["detector_params"], dtype=dtype,
+        remat_decode=(remat_cfg == "decode"),
+    )
 
     discriminator = None
     if "smpl_disc_params" in mp:
