@@ -30,6 +30,9 @@ def main() -> None:
                         help="multi-hypothesis eval mode")
     parser.add_argument("--synthetic", action="store_true",
                         help="evaluate on the in-memory synthetic fixture")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for smoke runs; "
+                             "env vars are overridden by this host)")
     opt = parser.parse_args()
 
     if opt.checkpoint is None:
@@ -40,6 +43,11 @@ def main() -> None:
     from x_as_supervision_tpu.train import checkpoint as ckpt
     from x_as_supervision_tpu.train.evaluator import Evaluator
     from x_as_supervision_tpu.train.factory import build_gan_spec
+
+    import jax
+
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
 
     import jax.numpy as jnp
 

@@ -68,14 +68,20 @@ def main() -> None:
     parser.add_argument("--backbone_init", default=None,
                         help="converted ImageNet backbone npz "
                              "(tools/convert_torch_resnet)")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for smoke runs; "
+                             "env vars are overridden by this host)")
     opt = parser.parse_args()
 
     from x_as_supervision_tpu.config import apply_overrides, load_config
     from x_as_supervision_tpu.parallel.mesh import initialize_multihost
 
+    import jax
+
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
     initialize_multihost(opt.coordinator)
 
-    import jax
     import jax.numpy as jnp
 
     config = load_config(opt.config)

@@ -44,14 +44,20 @@ def main() -> None:
     parser.add_argument("--seed", default=-1, type=int)
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for smoke runs; "
+                             "env vars are overridden by this host)")
     opt = parser.parse_args()
 
     from x_as_supervision_tpu.config import apply_overrides, load_config
     from x_as_supervision_tpu.parallel.mesh import initialize_multihost
 
+    import jax
+
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
     initialize_multihost(opt.coordinator)
 
-    import jax
     import jax.numpy as jnp
 
     from train import setup_seed
