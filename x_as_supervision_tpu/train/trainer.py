@@ -148,6 +148,14 @@ class Trainer:
         self.step_fn = make_train_step(self.spec, self.opt_det, self.opt_disc)
         self.tb_parent_ids = np.array(config["model_params"]["parent_ids"])
         self.tb_pair_ids = np.array(config["model_params"]["flip_pairs"])
+        if jax.process_index() == 0:
+            from ..utils import summarize
+
+            print(summarize("detector", state.det_params))
+            if state.phys_params:
+                print(summarize("physique", state.phys_params))
+            if state.disc_params:
+                print(summarize("discriminator", state.disc_params))
         self.profiler = Profiler.from_config(config, save_dir)
         self.timer = StepTimer()
         self.images_per_step = self.global_batch * max(

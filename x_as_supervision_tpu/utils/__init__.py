@@ -1,0 +1,3 @@
+from .tree import byte_size, dtype_census, param_count, summarize
+
+__all__ = ["byte_size", "dtype_census", "param_count", "summarize"]
