@@ -125,6 +125,7 @@ def main() -> None:
         seed=opt.seed,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         backbone_init=opt.backbone_init,
+        num_workers=opt.worker,
     )
     trainer.train(tb_logger)
     if tb_logger is not None:

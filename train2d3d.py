@@ -85,6 +85,7 @@ def main() -> None:
         mode="finetune" if opt.finetune else "train",
         seed=opt.seed,
         dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
+        num_workers=opt.worker,
     )
     trainer.train(tb_logger)
     if tb_logger is not None:

@@ -71,6 +71,7 @@ class Trainer:
         dtype=None,
         profile_dir: str | None = None,
         backbone_init: str | None = None,
+        num_workers: int = 10,
     ):
         import jax.numpy as jnp
 
@@ -145,6 +146,22 @@ class Trainer:
                 raise NotImplementedError(mode)
         self.state = M.replicate_state(state, self.mesh)
 
+        from ..data.loader import BatchLoader
+
+        # Thread-parallel prefetching feed (the DataLoader-worker
+        # equivalent; cv2 warps and the native FMM release the GIL).
+        self.loader = BatchLoader(
+            dataset,
+            batch_size=self.global_batch,
+            shuffle=True,
+            num_workers=num_workers,
+            prefetch=2,
+            seed=self.seed,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
+        )
+        self.steps_per_epoch = len(self.loader)
+
         self.step_fn = make_train_step(self.spec, self.opt_det, self.opt_disc)
         self.tb_parent_ids = np.array(config["model_params"]["parent_ids"])
         self.tb_pair_ids = np.array(config["model_params"]["flip_pairs"])
@@ -164,16 +181,9 @@ class Trainer:
 
     def _batches(self, epoch: int):
         """Per-epoch batches: epoch-keyed shuffle + per-process shard (the
-        DistributedSampler equivalent; reference: train.py:153,278)."""
-        n = len(self.dataset)
-        order = np.random.default_rng(self.seed + epoch).permutation(n)
-        for start in range(0, self.steps_per_epoch * self.global_batch,
-                           self.global_batch):
-            idx = order[start : start + self.global_batch]
-            idx = idx[self.batch_offset : self.batch_offset + self.local_batch]
-            yield self.dataset.batch_from_indices(idx) if hasattr(
-                self.dataset, "batch_from_indices"
-            ) else self.dataset.device_batch(int(idx[0]), self.local_batch)
+        DistributedSampler equivalent; reference: train.py:153,278),
+        prefetched by the thread-pool loader."""
+        yield from self.loader.epoch(epoch)
 
     def train(self, tb_logger=None) -> None:
         for epoch in range(self.epochs_run, self.num_epochs):
@@ -188,7 +198,12 @@ class Trainer:
                     continue
 
                 self.profiler.maybe_start(cur_step)
-                sharded = M.shard_batch(batch, self.mesh)
+                # split host-only fields (act tags, paths) from the device batch
+                device_batch = {
+                    k: v for k, v in batch.items()
+                    if not isinstance(v, (list, str))
+                }
+                sharded = M.shard_batch(device_batch, self.mesh)
                 step_rng = jax.random.fold_in(self.rng, cur_step)
                 want_outputs = (
                     jax.process_index() == 0 and cur_step % 50 == 0
