@@ -146,3 +146,48 @@ def test_torch_resnet_conversion_grafts_into_flax_tree():
 
     walk(params, backbone)
     walk(stats, variables["batch_stats"]["net"]["backbone"])
+
+
+def test_backbone_graft_replaces_values():
+    rng = np.random.default_rng(7)
+    sd = _fake_resnet18_sd(rng)
+    det = KPDetector3DMulti(num_kp=4, depth_dim=8, num_hypo=2,
+                            neighbor_size=3, num_layers=18)
+    variables = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+
+    import tempfile, os, subprocess, sys
+    from x_as_supervision_tpu.tools.convert_torch_resnet import (
+        convert_state_dict, load_npz_into_variables,
+    )
+
+    params, stats = convert_state_dict(sd, 18)
+    with tempfile.TemporaryDirectory() as d:
+        flat = {}
+
+        def flatten(tree, prefix, tag):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    flatten(v, prefix + (k,), tag)
+                else:
+                    flat[tag + "/" + "/".join(prefix + (k,))] = v
+
+        flatten(params, (), "params")
+        flatten(stats, (), "batch_stats")
+        path = os.path.join(d, "bb.npz")
+        np.savez(path, **flat)
+
+        out = load_npz_into_variables(path, variables)
+
+    stem = np.asarray(out["params"]["net"]["backbone"]["Conv_0"]["kernel"])
+    want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(stem, want, atol=1e-6)
+    bn_mean = np.asarray(
+        out["batch_stats"]["net"]["backbone"]["_BN_0"]["BatchNorm_0"]["mean"]
+    )
+    np.testing.assert_allclose(bn_mean, sd["bn1.running_mean"], atol=1e-6)
+    # head params untouched
+    head_before = jax.tree.leaves(variables["params"]["net"]["head"])
+    head_after = jax.tree.leaves(out["params"]["net"]["head"])
+    for a, b in zip(head_before, head_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
