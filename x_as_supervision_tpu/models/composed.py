@@ -70,6 +70,9 @@ class GanSpec:
     use_aug: bool = False
     remat: bool = True
     fuse_gan_step: bool = True
+    # Accepted for config compatibility; the reference reads this flag but
+    # never acts on it (reference modules/model.py:40, SURVEY §5.6).
+    use_learned_width: bool = False
 
     @staticmethod
     def from_config(model_params, detector, discriminator, physique):
@@ -92,6 +95,7 @@ class GanSpec:
             use_aug=disc_params.get("use_aug", False),
             remat=model_params.get("remat", True) is True,
             fuse_gan_step=model_params.get("fuse_gan_step", True),
+            use_learned_width=model_params.get("use_learned_width", False),
         )
 
 

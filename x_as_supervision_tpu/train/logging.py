@@ -47,6 +47,14 @@ def tb_vis(
         tb_log.add_scalar(
             "meta/learning_rate/detector", float(detector_lr), cur_step
         )
+        for key in output:
+            # learned-line-width scalars (reference train_util.py:240-243;
+            # the shipped models never emit them — hook kept for parity)
+            if key.startswith("line_width"):
+                for i, val in enumerate(np.asarray(output[key]).ravel()):
+                    tb_log.add_scalar(
+                        f"training_line_width/{key}_{i}", float(val), cur_step
+                    )
         if loss_disc is not None:
             tb_log.add_scalar(
                 "training_loss/smpl_disc", float(loss_disc), cur_step
