@@ -150,3 +150,29 @@ def test_gen_only_step_variant():
         )
     )
     assert same
+
+
+def test_single_hypothesis_detector_step():
+    """The 'resnet' (single-hypothesis) detector through the fused step."""
+    import copy
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["model_params"]["detector_params"] = {
+        "name": "resnet",
+        "num_kp": 18,
+        "depth_dim": 8,
+        "num_layers": 18,
+    }
+    spec = build_gan_spec(cfg)
+    ds = SyntheticPoseDataset(num_samples=4, cam_id_list=(0, 1), patch_size=64)
+    batch = ds.device_batch(0, 4)
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), batch, opt_det, opt_disc
+    )
+    step = make_train_step(spec, opt_det, opt_disc)
+    state2, metrics, _ = step(
+        state, batch, jax.random.PRNGKey(1), do_disc=True, do_gen=True
+    )
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert np.isfinite(float(metrics["loss_disc"]))
