@@ -282,9 +282,20 @@ class Evaluator:
 
     # ---------------- reporting ----------------
 
-    def record(self, rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity):
+    def record(self, rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity,
+               reduce_hosts: bool = False):
         """Print + write eval/eval_result.txt in the reference's exact
-        format (reference: eval.py:206-298)."""
+        format (reference: eval.py:206-298). reduce_hosts=True averages the
+        tables across processes (the reference reports rank-0's shard only,
+        SURVEY §7.5; this is the documented opt-in deviation)."""
+        if reduce_hosts:
+            from ..parallel.collectives import cross_host_mean
+
+            (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity) = (
+                cross_host_mean(
+                    (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity)
+                )
+            )
         eval_dir = os.path.join(self.log_dir, "eval")
         os.makedirs(eval_dir, exist_ok=True)
         path = os.path.join(eval_dir, "eval_result.txt")
