@@ -191,3 +191,76 @@ def test_backbone_graft_replaces_values():
     head_after = jax.tree.leaves(out["params"]["net"]["head"])
     for a, b in zip(head_before, head_after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_transpose_weight_equivalence():
+    """flax ConvTranspose(k4, s2, SAME) with flipped-HWIO weights ==
+    torch ConvTranspose2d(k4, s2, p1)."""
+    import torch
+    import flax.linen as nn
+
+    rng = np.random.default_rng(0)
+    cin, cout, s = 5, 7, 8
+    x = rng.normal(size=(2, s, s, cin)).astype(np.float32)
+    w_t = rng.normal(size=(cin, cout, 4, 4)).astype(np.float32)
+
+    t_out = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+        torch.from_numpy(w_t), stride=2, padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.ConvTranspose(cout, (4, 4), strides=(2, 2),
+                                    padding="SAME", use_bias=False)(x)
+
+    from x_as_supervision_tpu.tools.convert_torch_resnet import _conv_transpose
+
+    m = M()
+    out = m.apply(
+        {"params": {"ConvTranspose_0": {"kernel": jnp.asarray(_conv_transpose(w_t))}}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(out), t_out, atol=1e-4)
+
+
+def test_full_detector_conversion_tree_matches():
+    rng = np.random.default_rng(3)
+    sd = {f"net.backbone.{k}": v for k, v in _fake_resnet18_sd(rng).items()}
+    # head: 3 x (ConvT + BN) + final conv, shapes for num_kp=4, depth=8
+    cin = 512
+    for i, idx in enumerate((0, 3, 6)):
+        c_in = cin if i == 0 else 256
+        sd[f"net.head.features.{idx}.weight"] = rng.normal(
+            size=(c_in, 256, 4, 4)).astype(np.float32)
+        for key, val in (("weight", rng.normal(size=(256,))),
+                         ("bias", rng.normal(size=(256,))),
+                         ("running_mean", rng.normal(size=(256,))),
+                         ("running_var", rng.uniform(0.5, 2, (256,)))):
+            sd[f"net.head.features.{idx + 1}.{key}"] = val.astype(np.float32)
+    sd["net.head.features.9.weight"] = rng.normal(
+        size=(32, 256, 1, 1)).astype(np.float32)
+    sd["net.head.features.9.bias"] = rng.normal(size=(32,)).astype(np.float32)
+
+    from x_as_supervision_tpu.tools.convert_torch_resnet import (
+        convert_full_detector,
+    )
+
+    params, stats = convert_full_detector(sd, depth=18)
+    det = KPDetector3DMulti(num_kp=4, depth_dim=8, num_hypo=2,
+                            neighbor_size=3, num_layers=18)
+    variables = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+
+    def walk(conv, flax, path=()):
+        for k, v in conv.items():
+            assert k in flax, (path, k, sorted(flax.keys()))
+            if isinstance(v, dict):
+                walk(v, flax[k], path + (k,))
+            else:
+                assert v.shape == flax[k].shape, (path + (k,), v.shape,
+                                                  flax[k].shape)
+
+    walk(params, variables["params"])
+    walk(stats, variables["batch_stats"])

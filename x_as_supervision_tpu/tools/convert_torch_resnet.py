@@ -30,6 +30,15 @@ def _conv(w):
     return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
 
 
+def _conv_transpose(w):
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax ConvTranspose
+    HWIO kernel. Verified numerically: flax ConvTranspose(k4, s2, 'SAME')
+    with the spatially flipped kernel reproduces torch
+    ConvTranspose2d(k4, s2, p1) exactly (tests/test_tools.py)."""
+    k = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return np.ascontiguousarray(k[::-1, ::-1])
+
+
 def convert_state_dict(sd: dict, depth: int):
     """torchvision state_dict -> (params, batch_stats) nested dicts matching
     ResNetBackbone's module naming (models/resnet.py)."""
@@ -76,6 +85,60 @@ def convert_state_dict(sd: dict, depth: int):
                 bn(f"{t}.downsample.1", mod + (f"_BN_{n_convs}",))
             flax_block += 1
     return params, stats
+
+
+def convert_head(sd: dict, prefix: str = "head") -> tuple[dict, dict]:
+    """Deconv-head weights (reference deconv_head.py: ModuleList of
+    [ConvT, BN, ReLU] x num_layers + final Conv) -> flax DeconvHead tree."""
+    params: dict = {}
+    stats: dict = {}
+    i = 0
+    layer = 0
+    while f"{prefix}.features.{i}.weight" in sd:
+        w = sd[f"{prefix}.features.{i}.weight"]
+        w = np.asarray(w)
+        if f"{prefix}.features.{i + 1}.running_mean" in sd:
+            # ConvTranspose + BN block
+            params[f"ConvTranspose_{layer}"] = {"kernel": _conv_transpose(w)}
+            bnp = f"{prefix}.features.{i + 1}"
+            params[f"_BN_{layer}"] = {"BatchNorm_0": {
+                "scale": np.asarray(sd[bnp + ".weight"]),
+                "bias": np.asarray(sd[bnp + ".bias"]),
+            }}
+            stats[f"_BN_{layer}"] = {"BatchNorm_0": {
+                "mean": np.asarray(sd[bnp + ".running_mean"]),
+                "var": np.asarray(sd[bnp + ".running_var"]),
+            }}
+            layer += 1
+            i += 3  # ConvT, BN, ReLU
+        else:
+            # final Conv (with bias)
+            params["Conv_0"] = {"kernel": _conv(w)}
+            if f"{prefix}.features.{i}.bias" in sd:
+                params["Conv_0"]["bias"] = np.asarray(
+                    sd[f"{prefix}.features.{i}.bias"]
+                )
+            i += 1
+    return params, stats
+
+
+def convert_full_detector(sd: dict, depth: int = 50) -> tuple[dict, dict]:
+    """Full detector state dict (keys net.backbone.* / net.head.*, i.e. a
+    reference checkpoint after the 'regressor.' prefix strip,
+    reference eval.py:310-313) -> flax {net: {backbone, head}} trees."""
+    bb_sd = {
+        k[len("net.backbone."):]: v for k, v in sd.items()
+        if k.startswith("net.backbone.")
+    }
+    head_sd = {
+        k[len("net."):]: v for k, v in sd.items() if k.startswith("net.head.")
+    }
+    bb_params, bb_stats = convert_state_dict(bb_sd, depth)
+    h_params, h_stats = convert_head(head_sd)
+    return (
+        {"net": {"backbone": bb_params, "head": h_params}},
+        {"net": {"backbone": bb_stats, "head": h_stats}},
+    )
 
 
 def load_torch_checkpoint(path: str) -> dict:
