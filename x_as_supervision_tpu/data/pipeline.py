@@ -18,7 +18,6 @@ pseudo-SMPL sampling semantics match the reference exactly.
 from __future__ import annotations
 
 import os
-import random as _random
 
 import numpy as np
 

@@ -25,7 +25,7 @@ modules/discriminator.py:80-238.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

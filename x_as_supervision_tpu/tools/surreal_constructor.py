@@ -30,7 +30,6 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..models import smpl as smpl_mod
-from ..ops import geometry as G
 
 
 # ---- Blender camera (hard-coded for all SURREAL renders;

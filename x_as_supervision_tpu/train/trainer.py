@@ -21,7 +21,7 @@ import numpy as np
 from ..parallel import mesh as M
 from . import checkpoint as ckpt
 from .factory import build_gan_spec
-from .logging import create_writer, tb_vis
+from .logging import tb_vis
 from .profiling import Profiler, StepTimer
 from .state import (
     TrainState,
