@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from x_as_supervision_tpu.ops import integral as I
@@ -50,9 +51,29 @@ def test_mask_reconstruction_loss_modes():
     np.testing.assert_allclose(plain, np.mean((np.asarray(mask) - np.asarray(gt)) ** 2), rtol=1e-6)
     weighted = float(L.compute_mask_reconstruction_loss(mask, gt, weight=w))
     np.testing.assert_allclose(weighted, plain * 2.0, rtol=1e-6)
+    # use_clip with weight=None: the reference reduces the MSE to a scalar
+    # FIRST, so after the trainer's final mean the loss is
+    # mean((m-g)^2) * mean(m > 0.1) (reference loss_func.py:4-16 +
+    # train.py:182), NOT a masked MSE.
     clipped = float(L.compute_mask_reconstruction_loss(mask, gt, use_clip=True))
     m, g = np.asarray(mask), np.asarray(gt)
-    np.testing.assert_allclose(clipped, np.mean(((m - g) ** 2) * (m > 0.1)), rtol=1e-6)
+    np.testing.assert_allclose(
+        clipped, np.mean((m - g) ** 2) * np.mean(m > 0.1), rtol=1e-6
+    )
+    # use_clip with a weight map: elementwise filter applies before the mean.
+    clipped_w = float(
+        L.compute_mask_reconstruction_loss(mask, gt, weight=w, use_clip=True)
+    )
+    np.testing.assert_allclose(
+        clipped_w, np.mean(((m - g) ** 2) * (m > 0.1) * 2.0), rtol=1e-6
+    )
+    # gradient of the weightless use_clip branch: plain-MSE gradient scaled
+    # by the active-pixel fraction (the filter is non-differentiable).
+    grad = jax.grad(
+        lambda mm: L.compute_mask_reconstruction_loss(mm, gt, use_clip=True)
+    )(mask)
+    expected = 2.0 * (m - g) / m.size * np.mean(m > 0.1)
+    np.testing.assert_allclose(np.asarray(grad), expected, rtol=1e-5, atol=1e-8)
 
 
 def test_bone_sym_loss_zero_for_equal_bone_lengths():

@@ -354,9 +354,23 @@ def generator_forward(
         weight = (
             _stack_cam_images(batch, cams, "geodesic_dis") if use_dis else None
         )
-        loss_rec = L.compute_mask_reconstruction_loss(
-            masks_all, gt_masks, weight=weight, use_clip=True
-        ) * nc
+        # Per-camera scalars, then sum: with use_clip the reference's loss is
+        # a PRODUCT of two per-camera means (MSE x active-pixel fraction), so
+        # sum_c(a_c * f_c) != nc * mean(a) * mean(f) — the camera axis cannot
+        # be folded for this loss (reference modules/model.py:181-190).
+        per_cam = lambda t: t.reshape(nc, b, *t.shape[1:])
+        if weight is None:
+            loss_rec = jax.vmap(
+                lambda m, g: L.compute_mask_reconstruction_loss(
+                    m, g, use_clip=True
+                )
+            )(per_cam(masks_all), per_cam(gt_masks)).sum()
+        else:
+            loss_rec = jax.vmap(
+                lambda m, g, w: L.compute_mask_reconstruction_loss(
+                    m, g, weight=w, use_clip=True
+                )
+            )(per_cam(masks_all), per_cam(gt_masks), per_cam(weight)).sum()
         losses["reconstruction"] = loss_rec * loss_cfg["recons_loss"]["weight"]
 
     if return_cam_decode:

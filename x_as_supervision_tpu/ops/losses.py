@@ -16,16 +16,35 @@ Array = jax.Array
 def compute_mask_reconstruction_loss(
     mask: Array, gt: Array, weight: Array | None = None, use_clip: bool = False
 ) -> Array:
-    """MSE between rendered and GT masks; optional per-pixel weight map and
-    the `use_clip` filter that only penalizes pixels the render activates
-    (> 0.1). Reference: loss_func.py:4-16.
+    """MSE between rendered and GT masks with the reference's exact (and
+    asymmetric) `use_clip` semantics (reference: loss_func.py:4-16, reduced
+    by the caller's `.mean()` at reference train.py:182):
+
+      * weight is None: the MSE is reduced to a scalar FIRST
+        (reduction='mean'), so `use_clip` multiplies that scalar by the
+        activation filter tensor `(mask > 0.1)` — after the trainer's final
+        mean this is `mean((mask-gt)^2) * mean(mask > 0.1)`. The filter is
+        non-differentiable, so the gradient is the plain-MSE gradient to
+        EVERY pixel, scaled by the active-pixel fraction.
+      * weight given: elementwise MSE (reduction='none'), optionally masked
+        by the filter, weighted, then meaned — gradient reaches only
+        filter-active pixels.
+
+    The shipped S2 configs (recons_loss: use_dis_map false) hit the first
+    branch; preserving it exactly matters for training dynamics.
     """
+    if weight is None:
+        loss = ((mask - gt) ** 2).mean()
+        if use_clip:
+            # (mask > 0.1) is non-differentiable: value scales the scalar
+            # MSE; gradient flows only through the MSE term — both match
+            # torch (the bool->float cast carries no grad there either).
+            loss = loss * (mask > 0.1).astype(loss.dtype).mean()
+        return loss
     loss = (mask - gt) ** 2
     if use_clip:
         loss = loss * (mask > 0.1).astype(loss.dtype)
-    if weight is not None:
-        loss = loss * weight
-    return loss.mean()
+    return (loss * weight).mean()
 
 
 # Distal/proximal joint pairs of the 8 symmetric limb bones (R arm, L arm,
