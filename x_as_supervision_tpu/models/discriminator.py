@@ -116,14 +116,19 @@ class SAGEResidualBlock(nn.Module):
 
 class DenseGCNLayer(nn.Module):
     """GCNConv on a per-sample weighted dense adjacency (already
-    sym-normalized)."""
+    sym-normalized). The bias is added AFTER aggregation (PyG GCNConv
+    computes out = A_norm @ (x W) + b; adding it before would scale it by
+    the adjacency rows)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, adj_norm):
-        y = nn.Dense(self.features, use_bias=True)(x)
-        return jnp.einsum("bij,bjc->bic", adj_norm, y)
+        y = nn.Dense(self.features, use_bias=False)(x)
+        y = jnp.einsum("bij,bjc->bic", adj_norm, y)
+        return y + self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
 
 
 def sym_normalize(adj: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
