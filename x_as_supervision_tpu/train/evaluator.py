@@ -107,7 +107,10 @@ class Evaluator:
                 lambda p: EU.switch_points(p, kp_gt, switch_all=False),
                 in_axes=1, out_axes=1,
             )(pred)
-            trans_masks[ck] = tmask[:, 0]  # hypothesis-0 mask, (B, K, 1)
+            # Faithful reference quirk: the per-hypothesis loop overwrites
+            # trans_dict each iteration, so the LAST hypothesis's swap mask
+            # feeds the ambiguity ratio (reference eval.py:135-136).
+            trans_masks[ck] = tmask[:, -1]  # (B, K, 1)
 
             if mode == "best" and pred.shape[1] > 1:
                 err3 = ((sw3d - kp_gt[:, None]) ** 2).sum(-1)  # (B, H, K)
