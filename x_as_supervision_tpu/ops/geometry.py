@@ -42,9 +42,15 @@ def make_coordinate_grid(height: int, width: int, dtype=jnp.float32) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# Differentiable skeleton line renderer (XLA reference implementation).
-# A Pallas TPU kernel with a custom VJP lives in ops/line_render_pallas.py;
-# this version defines the semantics and is used for tests / CPU fallback.
+# Differentiable skeleton line renderer.
+# This XLA form IS the production path: component-wise x/y arrays keep the
+# pixel axis on the 128-wide lanes (a trailing (..., 2) coordinate axis
+# would pad to 128 and inflate HBM traffic 64x), and measures 6 ms fwd+bwd
+# at B=64 on the v5e bench chip (PERF.md). A bespoke Pallas kernel was
+# evaluated and not adopted: the op is a pure element-wise map + exp over a
+# (B, L, S*S) volume that XLA already fuses into adjacent ops, so a kernel
+# can only re-derive the same fusion (unlike the decode, there is no
+# reduction structure to reorganize).
 # ---------------------------------------------------------------------------
 
 # Line ids rendered with a 2x sharper falloff when the extended (>= 21 line)
