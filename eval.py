@@ -33,6 +33,19 @@ def main() -> None:
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu for smoke runs; "
                              "env vars are overridden by this host)")
+    parser.add_argument("--coordinator", default=None,
+                        help="jax.distributed coordinator address for "
+                             "multi-host eval (each process walks its own "
+                             "shard of the dataset; the torchrun analogue, "
+                             "reference eval.py:317-326)")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="world size (only needed off-TPU)")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this process's rank (only needed off-TPU)")
+    parser.add_argument("--reduce_hosts", action="store_true",
+                        help="average metric tables across processes before "
+                             "recording (opt-in deviation; the reference "
+                             "reports rank-0's shard only)")
     opt = parser.parse_args()
 
     if opt.checkpoint is None:
@@ -49,6 +62,12 @@ def main() -> None:
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
 
+    if opt.coordinator:
+        from x_as_supervision_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(opt.coordinator, opt.num_processes,
+                             opt.process_id)
+
     import jax.numpy as jnp
 
     config = load_config(opt.config)
@@ -64,10 +83,16 @@ def main() -> None:
 
     dataset = build_dataset(config, opt.synthetic, eval_only=True)
     evaluator = Evaluator(config, spec.detector, det_vars, dataset, log_dir)
-    tb_logger = create_writer(os.path.join(log_dir, "eval", "tensorboard"))
+    # rank 0 logs TB images, like the reference (eval.py:152)
+    tb_logger = (
+        create_writer(os.path.join(log_dir, "eval", "tensorboard"))
+        if jax.process_index() == 0 else None
+    )
     tables = evaluator.eval(mode=opt.multi_hypo, tb_log=tb_logger)
-    evaluator.record(*tables)
-    tb_logger.close()
+    if opt.reduce_hosts or jax.process_index() == 0:
+        evaluator.record(*tables, reduce_hosts=opt.reduce_hosts)
+    if tb_logger is not None:
+        tb_logger.close()
 
 
 if __name__ == "__main__":

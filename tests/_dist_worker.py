@@ -1,0 +1,105 @@
+"""Worker for the 2-process jax.distributed CPU test.
+
+Usage: python _dist_worker.py <coordinator> <num_procs> <proc_id> <out_json>
+
+Exercises, under a REAL 2-process jax.distributed runtime (not the
+8-virtual-device single-process mesh):
+  * parallel.mesh.initialize_multihost with explicit process identity
+  * BatchLoader per-shard batch slicing (DistributedSampler semantics)
+  * parallel.collectives.cross_host_mean
+  * the process-sharded Evaluator (each process walks its own batches)
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    coordinator, num_procs, proc_id, out_path = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, "/root/repo")
+    from x_as_supervision_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(coordinator, num_processes=num_procs,
+                         process_id=proc_id)
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert jax.process_index() == proc_id
+
+    result = {"process_index": proc_id}
+
+    # --- BatchLoader sharding ---
+    from x_as_supervision_tpu.data.loader import BatchLoader
+    from x_as_supervision_tpu.data.synthetic import SyntheticPoseDataset
+
+    ds = SyntheticPoseDataset(num_samples=8, cam_id_list=(0, 1),
+                              patch_size=32, seed=3)
+    loader = BatchLoader(
+        ds, batch_size=4, shuffle=False, num_workers=2, prefetch=1,
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
+    fingerprints = []
+    for batch in loader.epoch(0):
+        for pelvis in batch["cam_0_pelvis"]:
+            fingerprints.append(float(np.asarray(pelvis).sum()))
+    result["loader_fingerprints"] = fingerprints
+
+    # --- cross_host_mean ---
+    from x_as_supervision_tpu.parallel.collectives import cross_host_mean
+
+    reduced = cross_host_mean(
+        {"a": float(proc_id), "b": 2.0 * proc_id + 1.0}
+    )
+    result["cross_host_mean"] = reduced
+
+    # --- process-sharded Evaluator ---
+    import jax.numpy as jnp
+
+    from x_as_supervision_tpu.ops.integral import IntegralDecode
+    from x_as_supervision_tpu.train.evaluator import Evaluator
+
+    batch_size, num_hypo = 2, 2
+    rng = np.random.default_rng(77)
+    preds = rng.uniform(-0.9, 0.9,
+                        size=(batch_size, num_hypo, 18, 3)).astype(np.float32)
+    dpm = rng.uniform(0, 1, size=(18, 16)).astype(np.float32)
+
+    class StubDetector:
+        def apply(self, det_vars, img, train=False):
+            return IntegralDecode(jnp.asarray(preds), jnp.asarray(dpm))
+
+    config = {
+        "model_params": {
+            "cam_id_list": [0, 1],
+            "flip_pairs": [[1, 4], [2, 5], [3, 6], [14, 11], [15, 12],
+                           [16, 13]],
+            "parent_ids": [0, 0, 1, 2, 0, 4, 5, 0, 17, 8, 9, 17, 11, 12, 17,
+                           14, 15, 7],
+        },
+        "dataset_params": {"dataset": {"name": "hm36"}},
+        "train_params": {"batch_size": batch_size},
+    }
+    ev = Evaluator(
+        config, StubDetector(), {}, ds, out_path + ".evaldir",
+        img_size=32.0, batch_size=batch_size,
+    )
+    result["my_batches"] = ev.my_batches
+    tables = ev.eval(mode="confident")
+    reduced_tables = cross_host_mean(tables)
+    result["reduced_2d"] = reduced_tables[0]
+    result["reduced_3d_mpjpe"] = reduced_tables[2]["mpjpe"]
+    result["reduced_ambiguity"] = reduced_tables[6]
+
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

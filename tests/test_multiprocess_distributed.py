@@ -1,0 +1,134 @@
+"""Two-process jax.distributed CPU test.
+
+Launches two real subprocesses with a local coordinator (the torchrun
+analogue; reference train.py:43-45) and checks the multi-host code paths
+the 8-virtual-device single-process mesh cannot exercise:
+
+  * initialize_multihost with explicit num_processes/process_id
+  * BatchLoader shard arithmetic: shards are disjoint and their union
+    covers the full epoch (DistributedSampler semantics)
+  * cross_host_mean reduces across real processes
+  * the process-sharded Evaluator: partial tables reduced across processes
+    equal the single-process full-dataset tables
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from x_as_supervision_tpu.data.synthetic import SyntheticPoseDataset
+from x_as_supervision_tpu.ops.integral import IntegralDecode
+from x_as_supervision_tpu.train.evaluator import Evaluator
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist")
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("XLA_FLAGS", "JAX_"))}
+    for pid in range(2):
+        out = str(tmp / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_dist_worker.py"),
+             coordinator, "2", str(pid), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    results = []
+    for p, out in zip(procs, outs):
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            pytest.fail("distributed worker timed out")
+        assert p.returncode == 0, err[-3000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    return sorted(results, key=lambda r: r["process_index"])
+
+
+def test_loader_shards_are_disjoint_and_complete(worker_results):
+    ds = SyntheticPoseDataset(num_samples=8, cam_id_list=(0, 1),
+                              patch_size=32, seed=3)
+    expected = sorted(
+        float(np.asarray(ds.sample(i)["cam_0_pelvis"]).sum())
+        for i in range(8)
+    )
+    f0 = worker_results[0]["loader_fingerprints"]
+    f1 = worker_results[1]["loader_fingerprints"]
+    assert len(f0) == len(f1) == 4
+    assert not set(np.round(f0, 5)) & set(np.round(f1, 5))
+    np.testing.assert_allclose(sorted(f0 + f1), expected, rtol=1e-6)
+
+
+def test_cross_host_mean_across_processes(worker_results):
+    for r in worker_results:
+        np.testing.assert_allclose(r["cross_host_mean"]["a"], 0.5)
+        np.testing.assert_allclose(r["cross_host_mean"]["b"], 2.0)
+
+
+def test_sharded_eval_reduces_to_single_process_tables(worker_results):
+    # batches interleave process-index-first
+    assert worker_results[0]["my_batches"] == [0, 2]
+    assert worker_results[1]["my_batches"] == [1, 3]
+
+    # recompute the full-dataset tables single-process with the same stub
+    rng = np.random.default_rng(77)
+    preds = rng.uniform(-0.9, 0.9, size=(2, 2, 18, 3)).astype(np.float32)
+    dpm = rng.uniform(0, 1, size=(18, 16)).astype(np.float32)
+
+    class StubDetector:
+        def apply(self, det_vars, img, train=False):
+            return IntegralDecode(jnp.asarray(preds), jnp.asarray(dpm))
+
+    ds = SyntheticPoseDataset(num_samples=8, cam_id_list=(0, 1),
+                              patch_size=32, seed=3)
+    config = {
+        "model_params": {
+            "cam_id_list": [0, 1],
+            "flip_pairs": [[1, 4], [2, 5], [3, 6], [14, 11], [15, 12],
+                           [16, 13]],
+            "parent_ids": [0, 0, 1, 2, 0, 4, 5, 0, 17, 8, 9, 17, 11, 12, 17,
+                           14, 15, 7],
+        },
+        "dataset_params": {"dataset": {"name": "hm36"}},
+        "train_params": {"batch_size": 2},
+    }
+    ev = Evaluator(config, StubDetector(), {}, ds, "/tmp/_dist_single",
+                   img_size=32.0, batch_size=2)
+    assert ev.my_batches == [0, 1, 2, 3]  # single process: full dataset
+    full = ev.eval(mode="confident")
+
+    # cross_host_mean averages the two partial sums; the full-dataset sums
+    # are partial0 + partial1 = 2 x mean (equal shard sizes)
+    for r in worker_results:
+        for name, val in full[0].items():
+            np.testing.assert_allclose(
+                2.0 * r["reduced_2d"][name], val, rtol=1e-5, atol=1e-8,
+                err_msg=f"2d {name}",
+            )
+        for name, val in full[2]["mpjpe"].items():
+            np.testing.assert_allclose(
+                2.0 * r["reduced_3d_mpjpe"][name], val, rtol=1e-5,
+                atol=1e-6, err_msg=f"3d mpjpe {name}",
+            )
+        np.testing.assert_allclose(2.0 * r["reduced_ambiguity"], full[6],
+                                   rtol=1e-6)

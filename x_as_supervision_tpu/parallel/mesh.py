@@ -61,15 +61,26 @@ def replicate_state(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
 
 
-def initialize_multihost(coordinator: str | None = None) -> None:
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
     """Multi-host bring-up (jax.distributed). No-op on a single host.
 
     Mirrors the torchrun rendezvous role (reference: train.py:43-45) but via
     JAX's coordination service; call before any other JAX API in multi-host
-    deployments.
+    deployments. On TPU pods only `coordinator` is needed (identity comes
+    from the TPU metadata); on CPU/GPU clusters pass `num_processes` and
+    `process_id` explicitly (like torchrun's RANK/WORLD_SIZE).
     """
     if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+        kwargs = {}
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
 def process_local_batch_slice(global_batch: int) -> tuple[int, int]:

@@ -56,6 +56,7 @@ class Evaluator:
         log_dir: str,
         img_size: float = 256.0,
         batch_size: int | None = None,
+        shard_across_processes: bool = True,
     ):
         self.config = config
         self.detector = detector
@@ -71,6 +72,17 @@ class Evaluator:
         )
         self.batch_size = batch_size or config["train_params"]["batch_size"]
         self.num_batches = max(1, len(dataset) // self.batch_size)
+        # Shard eval batches across processes like the reference's
+        # DistributedSampler (reference eval.py:317-326): process p walks
+        # batches p, p+P, ... Every process previously walked the full
+        # dataset (world-size x redundant work on a pod).
+        if shard_across_processes:
+            self.my_batches = list(
+                range(jax.process_index(), self.num_batches,
+                      jax.process_count())
+            )
+        else:
+            self.my_batches = list(range(self.num_batches))
 
         self._device_step = jax.jit(
             partial(self._step), static_argnames=("mode",)
@@ -197,7 +209,7 @@ class Evaluator:
                 self.config["model_params"].get("parent_ids", [])
             )
 
-        for b in range(self.num_batches):
+        for b in self.my_batches:
             batch = self.dataset.batch(b * self.batch_size, self.batch_size)
             act_tags = batch.pop("act", ["act_02"] * self.batch_size)
             dev = {k: jnp.asarray(v) for k, v in batch.items()
@@ -346,7 +358,9 @@ class Evaluator:
                     f.write(f"{key}: {val / denom}"
                             + (" %\n" if key in ("pck", "auc") else "\n"))
 
-        ratio = ambiguity / self.num_batches / len(self.cam_id_list)
+        # per-process normalization, like the reference's per-rank loader
+        # length (reference eval.py:336)
+        ratio = ambiguity / max(1, len(self.my_batches)) / len(self.cam_id_list)
         print(f"Results saved in {path}")
         print(f"Ambiguity Ratio:{ratio}")
         return path
