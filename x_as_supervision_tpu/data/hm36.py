@@ -139,6 +139,10 @@ SUBSET_POLICIES = {
     "valid": (40, -1, 0, 60, [5, 6]),
     "validlarge": (150, 1, 0, 60, [5, 6]),
     "validfull": (-1, 1, 0, 60, [5, 6]),
+    # single-folder debug subset (s_09_act_02_subact_01, every frame) for
+    # miniature on-disk datasets; no reference analogue (it hardcodes the
+    # production splits only).
+    "mini": (-1, 1, 0, 1, [5]),
 }
 
 # Actions dropped by the train_selected policy (reference: hm36.py:343-346).
