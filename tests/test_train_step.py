@@ -176,3 +176,43 @@ def test_single_hypothesis_detector_step():
     )
     assert np.isfinite(float(metrics["loss_total"]))
     assert np.isfinite(float(metrics["loss_disc"]))
+
+
+def test_remat_modes_numerically_identical():
+    """'none' / 'head_decode' / 'full' rematerialization must be pure
+    memory/scheduling choices: identical loss values and gradients."""
+    import numpy as np
+    from x_as_supervision_tpu.models import composed as C
+
+    ds = SyntheticPoseDataset(num_samples=4, cam_id_list=(0, 1),
+                              patch_size=64)
+    batch = {k: jnp.asarray(v) for k, v in ds.device_batch(0, 2).items()}
+
+    results = {}
+    for mode in ("none", "head_decode", "full"):
+        cfg = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in TINY_CONFIG.items()}
+        cfg["model_params"] = dict(cfg["model_params"], remat=mode)
+        spec = build_gan_spec(cfg)
+        det_vars = spec.detector.init(jax.random.PRNGKey(0),
+                                      batch["cam_0_img"])
+        phys_vars = spec.physique.init(jax.random.PRNGKey(1),
+                                       batch["cam_0_mask"])
+        disc_params = spec.discriminator.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 18, 3))
+        )["params"]
+
+        def lossfn(p):
+            losses, _, _, _ = C.generator_forward(
+                spec, {**det_vars, "params": p}, phys_vars, disc_params,
+                batch, jax.random.PRNGKey(3), train=True,
+            )
+            return sum(jnp.asarray(v) for v in losses.values())
+
+        v, g = jax.value_and_grad(lossfn)(det_vars["params"])
+        results[mode] = (float(v), float(jax.tree.leaves(g)[0].sum()))
+
+    ref = results["none"]
+    for mode in ("head_decode", "full"):
+        np.testing.assert_allclose(results[mode][0], ref[0], rtol=1e-6)
+        np.testing.assert_allclose(results[mode][1], ref[1], rtol=1e-5)

@@ -68,7 +68,12 @@ class GanSpec:
     body_width: float
     disc_sup_dim: int = 3
     use_aug: bool = False
-    remat: bool = True
+    # rematerialization mode: 'none' | 'full' (checkpoint whole detector
+    # forwards + renderer) | 'decode' (in-module decode checkpoint) |
+    # 'head_decode' (checkpoint final 1x1 conv + decode so the K*D-channel
+    # logits volume — the dominant activation — is recomputed in the
+    # backward pass; residual is the small feature map).
+    remat_mode: str = "full"
     fuse_gan_step: bool = True
     # Accepted for config compatibility; the reference reads this flag but
     # never acts on it (reference modules/model.py:40, SURVEY §5.6).
@@ -93,10 +98,21 @@ class GanSpec:
             body_width=float(model_params.get("body_width", 3.0)) * 1e-3,
             disc_sup_dim=disc_params.get("disc_sup_dim", 3),
             use_aug=disc_params.get("use_aug", False),
-            remat=model_params.get("remat", True) is True,
+            remat_mode=_remat_mode(model_params.get("remat", True)),
             fuse_gan_step=model_params.get("fuse_gan_step", True),
             use_learned_width=model_params.get("use_learned_width", False),
         )
+
+
+def _remat_mode(cfg) -> str:
+    """Config value (bool or string) -> canonical remat mode."""
+    if cfg is True:
+        return "full"
+    if cfg is False or cfg is None:
+        return "none"
+    if cfg in ("none", "full", "decode", "head_decode"):
+        return cfg
+    raise ValueError(f"unknown remat mode {cfg!r}")
 
 
 def _active_cams(spec: GanSpec, batch: dict):
@@ -116,15 +132,43 @@ def _stack_cam_images(batch: dict, cams, suffix: str) -> jax.Array:
 def _detector_apply(spec, det_vars, img, train):
     """One (camera-batched) detector forward + updated batch stats.
 
-    Under `spec.remat` the forward is wrapped in jax.checkpoint: the step
-    runs the detector up to 3x per iteration on (C*B)-sized batches, and
-    storing each forward's activations — in particular the
-    (CB, 64, 64, K, 64) softmax volume — for the backward pass exceeds HBM.
-    Rematerialization trades one recompute per forward for the activation
-    memory of all but one forward.
+    Rematerialization policy (spec.remat_mode):
+      * 'full': jax.checkpoint around the whole forward — the step runs the
+        detector up to 3x per iteration on (C*B)-sized batches; recompute
+        each forward rather than store all their activations.
+      * 'head_decode': checkpoint ONLY the final 1x1 conv + integral decode.
+        The K*D-channel logits ARE the (K, D, H, W) softmax volume (~tens
+        of MB per image in fp32) and dominate saved activations; the plain
+        'decode' checkpoint cannot help because the logits stay alive as
+        the checkpoint's residual input. Starting the region before the
+        projection keeps only the num_filters-channel feature map.
+      * 'decode': in-module decode checkpoint (models/detector.py).
+      * 'none': store everything (fastest when HBM fits).
     """
     if not train:
         return spec.detector.apply(det_vars, img, train=False), det_vars
+
+    stats_in = det_vars.get("batch_stats", {})
+
+    if spec.remat_mode == "head_decode":
+        feats, mutated = spec.detector.apply(
+            {"params": det_vars["params"], "batch_stats": stats_in},
+            img, train=True, mutable=["batch_stats"], stage="features",
+        )
+
+        @jax.checkpoint
+        def tail(params, feats):
+            # final conv + decode: parameter-only (no BN), so no mutable
+            out = spec.detector.apply(
+                {"params": params}, feats, train=True, stage="tail"
+            )
+            return out.kps, out.depth_prob_map
+
+        kps, depth_map = tail(det_vars["params"], feats)
+        return IntegralDecode(kps, depth_map), {
+            "params": det_vars["params"],
+            "batch_stats": mutated["batch_stats"],
+        }
 
     def fwd(params, stats, img):
         out, mutated = spec.detector.apply(
@@ -133,10 +177,10 @@ def _detector_apply(spec, det_vars, img, train):
         )
         return out.kps, out.depth_prob_map, mutated["batch_stats"]
 
-    if spec.remat:
+    if spec.remat_mode == "full":
         fwd = jax.checkpoint(fwd)
     kps, depth_map, new_stats = fwd(
-        det_vars["params"], det_vars.get("batch_stats", {}), img
+        det_vars["params"], stats_in, img
     )
     return IntegralDecode(kps, depth_map), {
         "params": det_vars["params"],
@@ -241,7 +285,7 @@ def generator_forward(
         )
         return hm.max(axis=1)[..., None]  # (CB, S, S, 1)
 
-    if spec.remat:
+    if spec.remat_mode == "full":
         render = jax.checkpoint(render)
     masks_all = render(kps2d_all)
     reconstructed = {

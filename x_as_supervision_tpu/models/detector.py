@@ -38,11 +38,14 @@ class KPDetector3D(nn.Module):
     remat_decode: bool = False
 
     @nn.compact
-    def __call__(self, img, train: bool = True):
-        logits = ResPoseNet(
+    def __call__(self, img, train: bool = True, stage: str = "all"):
+        net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             name="net",
-        )(img, train)
+        )
+        if stage == "features":
+            return net(img, train, stage="features")
+        logits = net(img, train, stage="final" if stage == "tail" else "all")
         decode = functools.partial(integral.decode_single,
                                    num_joints=self.num_kp)
         if self.remat_decode:
@@ -66,11 +69,20 @@ class KPDetector3DMulti(nn.Module):
     remat_decode: bool = False
 
     @nn.compact
-    def __call__(self, img, train: bool = True):
-        logits = ResPoseNet(
+    def __call__(self, img, train: bool = True, stage: str = "all"):
+        """stage: 'all' (image -> decode) | 'features' (image -> deconv
+        feature map) | 'tail' (feature map -> final conv -> decode). The
+        features/tail split carries the 'head_decode' remat boundary (see
+        models/composed.py:_detector_apply): recomputing final-conv+decode
+        in the backward pass keeps the K*D-channel softmax volume out of
+        saved activations."""
+        net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             name="net",
-        )(img, train)
+        )
+        if stage == "features":
+            return net(img, train, stage="features")
+        logits = net(img, train, stage="final" if stage == "tail" else "all")
         decode = functools.partial(
             integral.decode_multi, num_joints=self.num_kp,
             num_hypo=self.num_hypo, neighbor_size=self.neighbor_size,

@@ -169,19 +169,31 @@ class DeconvHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        for _ in range(self.num_deconv_layers):
-            x = nn.ConvTranspose(
-                self.num_filters,
-                (self.kernel_size, self.kernel_size),
-                strides=(2, 2),
-                padding="SAME",
-                use_bias=False,
-                dtype=self.dtype,
-                kernel_init=_KAIMING,
-            )(x)
-            x = _BN(self.dtype)(x, train)
-            x = nn.relu(x)
+    def __call__(self, x, train: bool = True, stage: str = "all"):
+        """stage: 'all' | 'features' (deconv stack only, returns the
+        num_filters-channel map) | 'final' (the 1x1 projection only).
+
+        The split exists for the 'head_decode' rematerialization mode: the
+        K*D-channel logits ARE the softmax volume (tens of MB per image),
+        so a checkpoint region that starts before this projection keeps
+        only the small feature map alive across the backward pass.
+        Auto-naming is stable across stages (flax counters are per module
+        type, and each stage creates its types in the same order)."""
+        if stage in ("all", "features"):
+            for _ in range(self.num_deconv_layers):
+                x = nn.ConvTranspose(
+                    self.num_filters,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(2, 2),
+                    padding="SAME",
+                    use_bias=False,
+                    dtype=self.dtype,
+                    kernel_init=_KAIMING,
+                )(x)
+                x = _BN(self.dtype)(x, train)
+                x = nn.relu(x)
+            if stage == "features":
+                return x
         pad = 0 if self.final_conv_kernel == 1 else 1
         x = nn.Conv(
             self.num_joints * self.depth_dim,
@@ -205,13 +217,18 @@ class ResPoseNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stage: str = "all"):
+        """stage: 'all' | 'features' (backbone + deconv stack) | 'final'
+        (head projection only; `x` is then the feature map)."""
+        head = DeconvHead(
+            self.num_joints, self.depth_dim, dtype=self.dtype, name="head"
+        )
+        if stage == "final":
+            return head(x, train, stage="final")
         x = ResNetBackbone(self.num_layers, dtype=self.dtype, name="backbone")(
             x, train
         )
-        return DeconvHead(
-            self.num_joints, self.depth_dim, dtype=self.dtype, name="head"
-        )(x, train)
+        return head(x, train, stage="features" if stage == "features" else "all")
 
 
 class AvgPoolHead(nn.Module):
