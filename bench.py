@@ -23,6 +23,7 @@ import numpy as np
 
 A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
 NORTH_STAR = 3.0 * A100_EST_IMG_S
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
 
 GLOBAL_BATCH = 32
 WARMUP = 3
@@ -81,6 +82,17 @@ def main() -> None:
         + jax.tree.leaves(s.det_params)[0].astype(jnp.float32).sum()
     )
 
+    # XLA-counted FLOPs of the compiled step (for the MFU estimate).
+    try:
+        compiled = jax.jit(step, static_argnames=("with_outputs",)).lower(
+            state, batch, jax.random.PRNGKey(2), with_outputs=False
+        ).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", -1.0))
+    except Exception:
+        flops = -1.0
+
     rng = jax.random.PRNGKey(1)
     for i in range(WARMUP):
         state, metrics, _ = step(
@@ -101,6 +113,7 @@ def main() -> None:
     img_s = imgs_per_step / dt
     img_s_chip = img_s / n_dev
 
+    mfu = flops / dt / V5E_PEAK_BF16_FLOPS / n_dev if flops > 0 else -1.0
     print(
         json.dumps(
             {
@@ -113,6 +126,8 @@ def main() -> None:
                 "cams": len(cams),
                 "devices": n_dev,
                 "loss_total": float(metrics["loss_total"]),
+                "flops_per_step": flops,
+                "mfu_vs_bf16_peak": round(mfu, 4),
             }
         )
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # {depth: (block, layer counts, channels)} — channels are post-expansion.
@@ -153,6 +154,51 @@ class ResNetBackbone(nn.Module):
         return x
 
 
+class SubpixelConvTranspose(nn.Module):
+    """Exact ConvTranspose(k4, s2, 'SAME', no bias) via phase decomposition.
+
+    XLA lowers a stride-2 transposed conv to a conv over the zero-dilated
+    input, executing 4x redundant MACs on zeros (and the TPU pays them: the
+    deconv head measures ~4x its useful-FLOP roofline). Decomposing by
+    output phase removes the waste exactly:
+
+        out[2i+a, 2j+b] = sum_{dy,dx in {0,1}}
+            xpad[i+a+dy, j+b+dx] . F[a+2dy, b+2dx]
+
+    (derived + verified numerically against nn.ConvTranspose), i.e. ONE
+    dense 2x2 conv producing 4*Cout channels followed by a phase interleave.
+    The parameter is the same (4, 4, Cin, Cout) 'kernel' as nn.ConvTranspose
+    so checkpoints and the torch converter are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        cout = self.features
+        kernel = self.param(
+            "kernel", _KAIMING, (4, 4, cin, cout), jnp.float32
+        ).astype(self.dtype)
+        # F[ky, kx] with ky = 2*dy + a, kx = 2*dx + b
+        f4 = kernel.reshape(2, 2, 2, 2, cin, cout)  # (dy, a, dx, b, ci, co)
+        k2 = f4.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, cin, 4 * cout)
+
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H+1, W+1, 4*cout)
+        y = y.reshape(b, h + 1, w + 1, 2, 2, cout)
+        rows = []
+        for a in (0, 1):
+            cols = [y[:, a:a + h, bb:bb + w, a, bb] for bb in (0, 1)]
+            rows.append(jnp.stack(cols, axis=3))  # (B, H, W, 2, C)
+        grid = jnp.stack(rows, axis=2)  # (B, H, 2, W, 2, C)
+        return grid.reshape(b, 2 * h, 2 * w, cout)
+
+
 class DeconvHead(nn.Module):
     """num_layers x (ConvTranspose stride-2 + BN + ReLU) + 1x1 projection to
     num_joints * depth_dim channels. (B, 8, 8, C) -> (B, 64, 64, K*D).
@@ -167,6 +213,13 @@ class DeconvHead(nn.Module):
     kernel_size: int = 4
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    # phase-decomposed transposed conv (see SubpixelConvTranspose): exact
+    # and parameter-compatible, 4x fewer MACs than the dilated lowering —
+    # but MEASURED SLOWER in the full step on the v5e bench chip (344.8 vs
+    # 313.1 ms at b32): the per-layer phase interleave reshape crosses
+    # sublane tiles, the same penalty that rejected the stencil upsample
+    # (PERF.md). Kept as an opt-in for future layout-propagation work.
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
@@ -180,16 +233,23 @@ class DeconvHead(nn.Module):
         Auto-naming is stable across stages (flax counters are per module
         type, and each stage creates its types in the same order)."""
         if stage in ("all", "features"):
-            for _ in range(self.num_deconv_layers):
-                x = nn.ConvTranspose(
-                    self.num_filters,
-                    (self.kernel_size, self.kernel_size),
-                    strides=(2, 2),
-                    padding="SAME",
-                    use_bias=False,
-                    dtype=self.dtype,
-                    kernel_init=_KAIMING,
-                )(x)
+            for i in range(self.num_deconv_layers):
+                if self.subpixel and self.kernel_size == 4:
+                    x = SubpixelConvTranspose(
+                        self.num_filters, dtype=self.dtype,
+                        name=f"ConvTranspose_{i}",
+                    )(x)
+                else:
+                    x = nn.ConvTranspose(
+                        self.num_filters,
+                        (self.kernel_size, self.kernel_size),
+                        strides=(2, 2),
+                        padding="SAME",
+                        use_bias=False,
+                        dtype=self.dtype,
+                        kernel_init=_KAIMING,
+                        name=f"ConvTranspose_{i}",
+                    )(x)
                 x = _BN(self.dtype)(x, train)
                 x = nn.relu(x)
             if stage == "features":

@@ -54,12 +54,18 @@ def heatmap_marginals(logits: Array, num_joints: int) -> tuple[Array, Array, Arr
         vol.max(axis=(1, 2, 4), keepdims=True)
     )
     e = jnp.exp(vol)
-    denom = e.sum(axis=(1, 2, 4), keepdims=True)
-    p = e / denom  # (B, H, W, K, D)
+    # Marginalize the UNNORMALIZED volume and divide the small marginals by
+    # Z: sum(e)/Z == sum(e/Z) exactly, but the normalized (B, H, W, K, D)
+    # volume is never materialized (one fewer full-volume elementwise pass
+    # fwd+bwd, and one fewer full-volume residual).
+    sx = e.sum(axis=(1, 4))  # (B, W, K)
+    sy = e.sum(axis=(2, 4))  # (B, H, K)
+    sz = e.sum(axis=(1, 2))  # (B, K, D)
+    z = sz.sum(axis=-1)[:, None, :]  # (B, 1, K)
 
-    accu_x = p.sum(axis=(1, 4)).transpose(0, 2, 1)  # (B, K, W)
-    accu_y = p.sum(axis=(2, 4)).transpose(0, 2, 1)  # (B, K, H)
-    accu_z = p.sum(axis=(1, 2))  # (B, K, D)
+    accu_x = (sx / z).transpose(0, 2, 1)  # (B, K, W)
+    accu_y = (sy / z).transpose(0, 2, 1)  # (B, K, H)
+    accu_z = sz / z.transpose(0, 2, 1)  # (B, K, D)
     return accu_x, accu_y, accu_z
 
 
