@@ -107,3 +107,36 @@ def test_physique_preserves_spatial_shape():
     y, _ = net.apply(variables, x, train=False, mutable=["batch_stats"])
     assert y.shape == (2, 32, 32, 1)
     assert np.all(np.asarray(y) >= 0) and np.all(np.asarray(y) <= 1)
+
+
+def test_exact_conv_rewrites_match_reference_modules():
+    """SpaceToDepthStem == Conv(7x7, s2, p3); SubpixelConvTranspose ==
+    ConvTranspose(4x4, s2, 'SAME') — exact, weight-compatible rewrites
+    (both ship off by default; see PERF.md round-2 measurements)."""
+    import flax.linen as nn
+    import numpy as np
+
+    from x_as_supervision_tpu.models.resnet import (
+        SpaceToDepthStem,
+        SubpixelConvTranspose,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    conv = nn.Conv(16, (7, 7), strides=(2, 2), padding=3, use_bias=False)
+    cv = conv.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(SpaceToDepthStem(16).apply(
+            {"params": {"kernel": cv["params"]["kernel"]}}, x)),
+        np.asarray(conv.apply(cv, x)), atol=2e-5,
+    )
+
+    y = jnp.asarray(rng.normal(size=(2, 8, 8, 12)).astype(np.float32))
+    ct = nn.ConvTranspose(10, (4, 4), strides=(2, 2), padding="SAME",
+                          use_bias=False)
+    tv = ct.init(jax.random.PRNGKey(1), y)
+    np.testing.assert_allclose(
+        np.asarray(SubpixelConvTranspose(10).apply(
+            {"params": {"kernel": tv["params"]["kernel"]}}, y)),
+        np.asarray(ct.apply(tv, y)), atol=2e-5,
+    )
