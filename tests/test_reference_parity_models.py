@@ -549,3 +549,157 @@ def test_counter3d_disc_loss_parity():
     np.testing.assert_allclose(
         float(loss), float(ref_loss.mean()), rtol=2e-3, atol=1e-6
     )
+
+
+def test_counter3d_aug_branch_parity(monkeypatch):
+    """use_aug=True gating: the 0.7/0.3 generator split and 0.6/0.4
+    discriminator split with rotation-augmented poses (reference
+    modules/model.py:131-141, 250-258). Both sides' random z-rotation is
+    pinned to the same fixed angle so the branch wiring is comparable."""
+    import math
+
+    from x_as_supervision_tpu.ops import geometry as G_mod
+
+    theta = 0.35
+    rot_np = np.array([
+        [math.cos(theta), -math.sin(theta), 0.0],
+        [math.sin(theta), math.cos(theta), 0.0],
+        [0.0, 0.0, 1.0],
+    ], dtype=np.float32)
+
+    monkeypatch.setattr(
+        REF.model, "random_rotation_3D",
+        lambda kps: torch.matmul(kps, torch.tensor(rot_np)),
+    )
+    monkeypatch.setattr(
+        G_mod, "random_rotation_3d",
+        lambda key, kps: kps @ jnp.asarray(rot_np),
+    )
+
+    (ref_det, (det_p, det_s), ref_disc, ref_phys, (phy_p, phy_s),
+     batch, tb) = _shared_fixture()
+
+    cfg = {
+        "cam_id_list": [0, 1],
+        "body_width": 3.0,
+        "line_select_ids": LINE_SELECT,
+        "parent_ids": PARENT_IDS,
+        "loss_config": LOSS_CONFIG,
+        "smpl_disc_params": {"disc_sup_dim": 3, "use_aug": True},
+    }
+    ref_model = REF.model.Counter3DModel(
+        cfg, ref_det, smpl_layer=None, h36m_regressor=None,
+        physique_network=ref_phys,
+    )
+    ref_model.eval()
+    ref_wrap = REF.model.Counter3DDisc(
+        cfg, ref_disc, smpl_layer=None, h36m_regressor=None
+    )
+    ref_wrap.eval()
+    with torch.no_grad():
+        ref_losses, _ = ref_model(tb, ref_disc)
+        ref_disc_loss, _ = ref_wrap(tb, ref_det)
+
+    mp = dict(MODEL_PARAMS)
+    mp["smpl_disc_params"] = dict(mp["smpl_disc_params"], use_aug=True)
+    det = KPDetector3DMulti(
+        num_kp=18, depth_dim=16, num_hypo=1, neighbor_size=3, num_layers=18
+    )
+    spec = C.GanSpec.from_config(mp, det, _our_decouple(True),
+                                 PhysiqueMaskGenerator(num_features=(4, 8)))
+    assert spec.use_aug
+
+    det_vars = {"params": as_jnp_tree(det_p), "batch_stats": as_jnp_tree(det_s)}
+    phys_vars = {"params": as_jnp_tree(phy_p), "batch_stats": as_jnp_tree(phy_s)}
+    disc_params = as_jnp_tree(_decouple_params(ref_disc))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses, _, _, _ = C.generator_forward(
+        spec, det_vars, phys_vars, disc_params, jb, jax.random.PRNGKey(0),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        float(losses["smpl_gen"]), float(ref_losses["smpl_gen"].mean()),
+        rtol=1e-2, err_msg="aug generator split",
+    )
+    loss_disc, _, _ = C.discriminator_forward(
+        spec, disc_params, det_vars, jb, jax.random.PRNGKey(1), train=False
+    )
+    np.testing.assert_allclose(
+        float(loss_disc), float(ref_disc_loss.mean()), rtol=1e-2,
+        err_msg="aug discriminator split",
+    )
+
+
+def test_counter3d_mono_path_parity():
+    """Mono-camera (2D dataset) loss menu: cam_mono_* keys select the
+    single-view branch, symmetry is skipped, the mono world lift is used
+    (reference modules/model.py:51-55,73-75,101-102)."""
+    from x_as_supervision_tpu.data.synthetic import SyntheticMonoDataset
+
+    ref_det = REF.kpd_multi.KPDetector3DMulti(
+        "detector", num_kp=18, depth_dim=16, num_hypo=1, neighbor_size=3,
+        num_layers=18,
+    )
+    randomize_torch_module(ref_det, seed=51)
+    ref_det.eval()
+    sd = {kk: v.numpy() for kk, v in ref_det.state_dict().items()}
+    det_p, det_s = convert_full_detector(sd, depth=18)
+    ref_disc = _make_ref_decouple(True)
+
+    import modules.physique_network as ref_phys_mod
+
+    ref_phys = ref_phys_mod.PhysiqueMaskGenerator([4, 8], num_parts=1)
+    randomize_torch_module(ref_phys, seed=52)
+    ref_phys.eval()
+    phy_p, phy_s = _physique_params(ref_phys)
+
+    ds = SyntheticMonoDataset(num_samples=2, patch_size=64, seed=7)
+    batch = ds.device_batch(0, 1)
+    tb = {}
+    for key, v in batch.items():
+        arr = t(v)
+        if arr.ndim == 4 and arr.shape[-1] in (1, 3):
+            arr = arr.permute(0, 3, 1, 2).contiguous()
+        tb[key] = arr
+
+    cfg = {
+        "cam_id_list": [0, 1],  # overridden by the cam_mono_img key
+        "body_width": 3.0,
+        "line_select_ids": LINE_SELECT,
+        "parent_ids": PARENT_IDS,
+        "loss_config": LOSS_CONFIG,
+        "smpl_disc_params": {"disc_sup_dim": 3, "use_aug": False},
+    }
+    ref_model = REF.model.Counter3DModel(
+        cfg, ref_det, smpl_layer=None, h36m_regressor=None,
+        physique_network=ref_phys,
+    )
+    ref_model.eval()
+    with torch.no_grad():
+        ref_losses, _ = ref_model(tb, ref_disc)
+
+    mp = dict(MODEL_PARAMS)
+    det = KPDetector3DMulti(
+        num_kp=18, depth_dim=16, num_hypo=1, neighbor_size=3, num_layers=18
+    )
+    spec = C.GanSpec.from_config(mp, det, _our_decouple(True),
+                                 PhysiqueMaskGenerator(num_features=(4, 8)))
+    det_vars = {"params": as_jnp_tree(det_p), "batch_stats": as_jnp_tree(det_s)}
+    phys_vars = {"params": as_jnp_tree(phy_p), "batch_stats": as_jnp_tree(phy_s)}
+    disc_params = as_jnp_tree(_decouple_params(ref_disc))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses, _, _, _ = C.generator_forward(
+        spec, det_vars, phys_vars, disc_params, jb, jax.random.PRNGKey(0),
+        train=False,
+    )
+    assert set(losses) == set(ref_losses)
+    assert float(losses["symmetry"]) == 0.0  # mono skips symmetry
+    for key in losses:
+        rv = ref_losses[key]
+        rv = float(rv.mean()) if hasattr(rv, "mean") else float(rv)
+        np.testing.assert_allclose(
+            float(losses[key]), rv, rtol=1e-2, atol=1e-7,
+            err_msg=f"mono {key}",
+        )
