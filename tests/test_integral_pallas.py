@@ -44,6 +44,27 @@ def test_pallas_marginals_gradient_matches_xla():
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
 
 
+def test_pallas_marginals_bf16_logits():
+    """bf16 logits stream through the kernel with f32 accumulation; the
+    gradient comes back in bf16."""
+    logits = _logits(b=1, h=16, w=8, k=2, d=16).astype(jnp.bfloat16)
+    ax_p, ay_p, az_p = heatmap_marginals_pallas(logits, 2)
+    ax, ay, az = I.heatmap_marginals(logits.astype(jnp.float32), 2)
+    np.testing.assert_allclose(np.asarray(ax_p), np.asarray(ax), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(az_p), np.asarray(az), atol=2e-3)
+
+    g = jax.grad(
+        lambda l: heatmap_marginals_pallas(l, 2)[2].sum(axis=(1, 2)).prod()
+    )(logits)
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(
+        lambda l: I.heatmap_marginals(l, 2)[2].sum(axis=(1, 2)).prod()
+    )(logits.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(g).astype(np.float32), np.asarray(g_ref), atol=2e-3
+    )
+
+
 def test_decode_multi_with_pallas_backend():
     logits = _logits()
     out_p = I.decode_multi(logits, 3, 2, 3, use_pallas=True)

@@ -36,18 +36,21 @@ class KPDetector3D(nn.Module):
     num_layers: int = 50
     dtype: Any = jnp.float32
     remat_decode: bool = False
+    fp32_logits: bool = True
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
-            name="net",
+            fp32_logits=self.fp32_logits, name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
         logits = net(img, train, stage="final" if stage == "tail" else "all")
         decode = functools.partial(integral.decode_single,
-                                   num_joints=self.num_kp)
+                                   num_joints=self.num_kp,
+                                   use_pallas=self.use_pallas)
         if self.remat_decode:
             decode = jax.checkpoint(decode)
         return decode(logits)
@@ -67,6 +70,8 @@ class KPDetector3DMulti(nn.Module):
     num_layers: int = 50
     dtype: Any = jnp.float32
     remat_decode: bool = False
+    fp32_logits: bool = True
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
@@ -78,7 +83,7 @@ class KPDetector3DMulti(nn.Module):
         saved activations."""
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
-            name="net",
+            fp32_logits=self.fp32_logits, name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -86,6 +91,7 @@ class KPDetector3DMulti(nn.Module):
         decode = functools.partial(
             integral.decode_multi, num_joints=self.num_kp,
             num_hypo=self.num_hypo, neighbor_size=self.neighbor_size,
+            use_pallas=self.use_pallas,
         )
         if self.remat_decode:
             decode = jax.checkpoint(decode)
@@ -98,20 +104,19 @@ def build_detector(detector_params: dict, dtype=jnp.float32,
     (reference: train.py:214-217)."""
     p = dict(detector_params)
     name = p.pop("name")
-    if name == "resnet_multi":
-        return KPDetector3DMulti(
-            num_kp=p["num_kp"],
-            depth_dim=p["depth_dim"],
-            num_hypo=p["num_hypo"],
-            neighbor_size=p["neighbor_size"],
-            num_layers=detector_params.get("num_layers", 50),
-            dtype=dtype,
-            remat_decode=remat_decode,
-        )
-    return KPDetector3D(
+    common = dict(
         num_kp=p["num_kp"],
         depth_dim=p["depth_dim"],
         num_layers=detector_params.get("num_layers", 50),
         dtype=dtype,
         remat_decode=remat_decode,
+        fp32_logits=detector_params.get("fp32_logits", True),
+        use_pallas=detector_params.get("use_pallas"),
     )
+    if name == "resnet_multi":
+        return KPDetector3DMulti(
+            num_hypo=p["num_hypo"],
+            neighbor_size=p["neighbor_size"],
+            **common,
+        )
+    return KPDetector3D(**common)

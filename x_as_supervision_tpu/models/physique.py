@@ -1,8 +1,19 @@
 """Physique mask generator: conv encoder/decoder that inflates the rendered
 skeleton-line mask into a body silhouette.
 
-NHWC, BatchNorm with global-batch statistics (SyncBN-equivalent under GSPMD),
-bilinear upsampling via jax.image.resize.
+Two numerically equivalent execution paths sharing one parameter tree
+(explicit module names; (C,)-shaped BN params are layout-agnostic):
+
+  * NHWC (default): flax convs, BatchNorm on axis -1, bilinear resize.
+    XLA's conv lowering puts Cout on the 128-wide MXU lane axis, which
+    this net's small channel counts (1/32/64) can only fill 25-50% —
+    measured ~35% of the FLOP roofline on v5e (PERF.md).
+  * NCHW + Pallas (`use_pallas=True`): the whole chain runs channels-first
+    so the lane axis carries pixels, with the small-channel convs computed
+    by ops/conv_pallas.py (transposed-matmul form). The 1-channel entry /
+    exit make the NHWC<->NCHW boundary a free reshape.
+
+BatchNorm keeps global-batch statistics (SyncBN-equivalent under GSPMD).
 Reference: modules/physique_network.py:4-59.
 """
 
@@ -14,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.conv_pallas import conv3x3_nchw
 from .resnet import _BN, _KAIMING
 
 
@@ -46,34 +58,90 @@ def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     return up_axis(up_axis(x, 1), 2)
 
 
+class _PallasConv(nn.Module):
+    """3x3 SAME conv on NCHW activations via ops/conv_pallas.py, with the
+    same parameter names/shapes as nn.Conv (kernel (3,3,Cin,Cout), bias)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[1]
+        kernel = self.param(
+            "kernel", _KAIMING, (3, 3, cin, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return conv3x3_nchw(
+            x.astype(self.dtype), kernel, bias, self.stride
+        )
+
+
 class PhysiqueMaskGenerator(nn.Module):
     num_features: Sequence[int]  # e.g. (32, 64, 128)
     num_parts: int = 1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
-    def _conv(self, x, features, stride, train):
-        x = nn.Conv(
-            features, (3, 3), strides=(stride, stride), padding=1,
-            dtype=self.dtype, kernel_init=_KAIMING,
-        )(x)
-        x = _BN(self.dtype)(x, train)
-        return nn.leaky_relu(x, negative_slope=0.01)
+    def _stages(self):
+        """Encoder: conv -> (conv + stride-2 down) per scale; decoder
+        mirrors: conv -> bilinear x2 -> conv (reference:
+        modules/physique_network.py:14-36)."""
+        nf = list(self.num_features)
+        ops = [("conv", nf[0], 1)]
+        for i in range(1, len(nf)):
+            ops += [("conv", nf[i - 1], 1), ("conv", nf[i], 2)]
+        for i in range(len(nf) - 1, 0, -1):
+            ops += [("conv", nf[i], 1), ("up",), ("conv", nf[i - 1], 1)]
+        return ops
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        nf = list(self.num_features)
-        # Encoder: conv -> (conv + stride-2 down) per scale.
-        x = self._conv(x, nf[0], 1, train)
-        for i in range(1, len(nf)):
-            x = self._conv(x, nf[i - 1], 1, train)
-            x = self._conv(x, nf[i], 2, train)
-        # Decoder mirrors: conv -> bilinear x2 -> conv.
-        for i in range(len(nf) - 1, 0, -1):
-            x = self._conv(x, nf[i], 1, train)
+        nchw = self.use_pallas
+        if nchw:
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
-            x = self._conv(x, nf[i - 1], 1, train)
-        x = nn.Conv(
-            1, (3, 3), padding=1, dtype=self.dtype, kernel_init=_KAIMING
-        )(x)
+            # C == 1 at entry: NHWC -> NCHW is a pure reshape.
+            x = x.reshape(b, c, h, w)
+
+        idx = 0
+        for op in self._stages():
+            if op[0] == "up":
+                s = x.shape
+                if nchw:
+                    x = jax.image.resize(
+                        x, (s[0], s[1], s[2] * 2, s[3] * 2), method="bilinear"
+                    )
+                else:
+                    x = jax.image.resize(
+                        x, (s[0], s[1] * 2, s[2] * 2, s[3]), method="bilinear"
+                    )
+                continue
+            _, feats, stride = op
+            if nchw:
+                x = _PallasConv(
+                    feats, stride, dtype=self.dtype, name=f"Conv_{idx}"
+                )(x)
+                x = _BN(self.dtype, axis=1, name=f"_BN_{idx}")(x, train)
+            else:
+                x = nn.Conv(
+                    feats, (3, 3), strides=(stride, stride), padding=1,
+                    dtype=self.dtype, kernel_init=_KAIMING,
+                    name=f"Conv_{idx}",
+                )(x)
+                x = _BN(self.dtype, name=f"_BN_{idx}")(x, train)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            idx += 1
+
+        if nchw:
+            x = _PallasConv(1, 1, dtype=self.dtype, name=f"Conv_{idx}")(x)
+            b, c, h, w = x.shape
+            x = x.reshape(b, h, w, c)  # C == 1: reshape == transpose
+        else:
+            x = nn.Conv(
+                1, (3, 3), padding=1, dtype=self.dtype, kernel_init=_KAIMING,
+                name=f"Conv_{idx}",
+            )(x)
         return nn.sigmoid(x.astype(jnp.float32))

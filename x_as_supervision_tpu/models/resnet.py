@@ -39,9 +39,14 @@ _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class _BN(nn.Module):
-    """BatchNorm with fp32 statistics regardless of compute dtype."""
+    """BatchNorm with fp32 statistics regardless of compute dtype.
+
+    axis: the feature axis (-1 for NHWC, 1 for the physique net's NCHW
+    Pallas path); the (C,) parameter shapes are identical either way, so
+    checkpoints are layout-agnostic."""
 
     dtype: Any = jnp.float32
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -51,6 +56,7 @@ class _BN(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            axis=self.axis,
         )(x)
 
 
@@ -264,6 +270,13 @@ class DeconvHead(nn.Module):
     kernel_size: int = 4
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    # fp32_logits: cast the head output to fp32 (reference semantics; the
+    # 64^3-way softmax is precision-sensitive). False keeps the compute
+    # dtype (bf16): exact softmax math is preserved by fp32 accumulation in
+    # the decode (ops/integral*.py); what changes is logit rounding —
+    # measured as the difference between writing a 2.4 GB vs 1.2 GB volume
+    # to HBM at the flagship shape (plus its backward-pass residual).
+    fp32_logits: bool = True
     # phase-decomposed transposed conv (see SubpixelConvTranspose): exact
     # and parameter-compatible, 4x fewer MACs than the dilated lowering —
     # but MEASURED SLOWER in the full step on the v5e bench chip (344.8 vs
@@ -314,9 +327,7 @@ class DeconvHead(nn.Module):
             dtype=self.dtype,
             kernel_init=_KAIMING,
         )(x)
-        # logits leave the head in fp32: the softmax decode is
-        # precision-sensitive (64^3-way normalization).
-        return x.astype(jnp.float32)
+        return x.astype(jnp.float32) if self.fp32_logits else x
 
 
 class ResPoseNet(nn.Module):
@@ -326,13 +337,15 @@ class ResPoseNet(nn.Module):
     depth_dim: int
     num_layers: int = 50
     dtype: Any = jnp.float32
+    fp32_logits: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
         """stage: 'all' | 'features' (backbone + deconv stack) | 'final'
         (head projection only; `x` is then the feature map)."""
         head = DeconvHead(
-            self.num_joints, self.depth_dim, dtype=self.dtype, name="head"
+            self.num_joints, self.depth_dim, dtype=self.dtype,
+            fp32_logits=self.fp32_logits, name="head",
         )
         if stage == "final":
             return head(x, train, stage="final")

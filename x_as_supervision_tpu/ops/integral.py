@@ -29,11 +29,17 @@ class IntegralDecode(NamedTuple):
 
 
 def _auto_pallas(use_pallas: bool | None) -> bool:
-    # Measured on the v5e bench chip (B=64, K=18, 64^3): the XLA decode is
-    # faster than the Pallas kernel (9.6 vs 20.0 ms fwd) — the (B, K) grid
-    # of 1 MB tiles plus the layout transpose pipelines worse than XLA's
-    # fused reductions. The kernel stays available for experimentation;
-    # default is the XLA path.
+    # Measured on the v5e bench chip (value_and_grad, B=128, K=18, 64^3):
+    #   v1 kernel (B,K)-grid + pre-transpose: 20.0 vs 9.6 ms XLA fwd (B=64).
+    #   v2 kernel (streaming, online-softmax, no transpose, git history):
+    #     fp32 logits: 22.5 vs 17.6 ms XLA; bf16 logits: 12.2 vs 9.5 ms XLA.
+    # XLA's fused reductions win at every tried shape — the decode is
+    # bandwidth-bound and XLA already reads the volume a near-minimal
+    # number of times, while the kernel pays an extra logits read in its
+    # backward. The kernel stays available for experimentation; default is
+    # the XLA path. (In the full step even the fp32-vs-bf16 logits input
+    # distinction vanishes: XLA fuses the upcast into the reductions —
+    # PERF.md "decode" round-2 notes.)
     if use_pallas is None:
         return False
     return use_pallas
@@ -49,7 +55,9 @@ def heatmap_marginals(logits: Array, num_joints: int) -> tuple[Array, Array, Arr
     """
     b, h, w, c = logits.shape
     d = c // num_joints
-    vol = logits.reshape(b, h, w, num_joints, d)
+    # bf16 logits are upcast here: the softmax sums (64^3 terms) need f32
+    # accumulation. The Pallas kernel does the same cast per VMEM tile.
+    vol = logits.reshape(b, h, w, num_joints, d).astype(jnp.float32)
     vol = vol - jax.lax.stop_gradient(
         vol.max(axis=(1, 2, 4), keepdims=True)
     )

@@ -13,11 +13,21 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..models.composed import GanSpec, cal_links
 from ..models.detector import build_detector
 from ..models.discriminator import build_discriminator
 from ..models.physique import PhysiqueMaskGenerator
 from ..models import smpl as smpl_mod
+
+
+def _pallas_ok() -> bool:
+    """Pallas kernels are enabled on a real TPU backend in single-device
+    processes. Under a multi-device GSPMD mesh the custom calls have no
+    partitioning rule yet (the XLA paths are used there; see ROADMAP.md),
+    and on CPU the interpret-mode kernels are for tests only."""
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
@@ -47,11 +57,11 @@ def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
 
     physique = None
     if "physique_mask_generator_params" in mp:
+        pp = mp["physique_mask_generator_params"]
         physique = PhysiqueMaskGenerator(
-            num_features=tuple(
-                mp["physique_mask_generator_params"]["layers"]
-            ),
+            num_features=tuple(pp["layers"]),
             dtype=dtype,
+            use_pallas=bool(pp.get("pallas", False)) and _pallas_ok(),
         )
 
     return GanSpec.from_config(mp, detector, discriminator, physique)
