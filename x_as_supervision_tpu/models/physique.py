@@ -8,10 +8,10 @@ Two numerically equivalent execution paths sharing one parameter tree
     XLA's conv lowering puts Cout on the 128-wide MXU lane axis, which
     this net's small channel counts (1/32/64) can only fill 25-50% —
     measured ~35% of the FLOP roofline on v5e (PERF.md).
-  * NCHW + Pallas (`use_pallas=True`): the whole chain runs channels-first
-    so the lane axis carries pixels, with the small-channel convs computed
-    by ops/conv_pallas.py (transposed-matmul form). The 1-channel entry /
-    exit make the NHWC<->NCHW boundary a free reshape.
+  * NHCW + Pallas (`use_pallas=True`): the whole chain runs (B, H, C, W)
+    so the MXU lane axis carries pixels, with the small-channel convs
+    computed by ops/conv_pallas.py (transposed-matmul form). The 1-channel
+    entry/exit make the NHWC<->NHCW boundary a free reshape.
 
 BatchNorm keeps global-batch statistics (SyncBN-equivalent under GSPMD).
 Reference: modules/physique_network.py:4-59.
@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import conv3x3_nchw
+from ..ops.conv_pallas import conv3x3_nhcw
 from .resnet import _BN, _KAIMING
 
 
@@ -59,7 +59,7 @@ def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class _PallasConv(nn.Module):
-    """3x3 SAME conv on NCHW activations via ops/conv_pallas.py, with the
+    """3x3 SAME conv on NHCW activations via ops/conv_pallas.py, with the
     same parameter names/shapes as nn.Conv (kernel (3,3,Cin,Cout), bias)."""
 
     features: int
@@ -68,14 +68,14 @@ class _PallasConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[1]
+        cin = x.shape[2]
         kernel = self.param(
             "kernel", _KAIMING, (3, 3, cin, self.features), jnp.float32
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        return conv3x3_nchw(
+        return conv3x3_nhcw(
             x.astype(self.dtype), kernel, bias, self.stride
         )
 
@@ -100,19 +100,19 @@ class PhysiqueMaskGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        nchw = self.use_pallas
-        if nchw:
+        nhcw = self.use_pallas
+        if nhcw:
             b, h, w, c = x.shape
-            # C == 1 at entry: NHWC -> NCHW is a pure reshape.
-            x = x.reshape(b, c, h, w)
+            # C == 1 at entry: NHWC -> NHCW is a pure reshape.
+            x = x.reshape(b, h, c, w)
 
         idx = 0
         for op in self._stages():
             if op[0] == "up":
                 s = x.shape
-                if nchw:
+                if nhcw:
                     x = jax.image.resize(
-                        x, (s[0], s[1], s[2] * 2, s[3] * 2), method="bilinear"
+                        x, (s[0], s[1] * 2, s[2], s[3] * 2), method="bilinear"
                     )
                 else:
                     x = jax.image.resize(
@@ -120,11 +120,11 @@ class PhysiqueMaskGenerator(nn.Module):
                     )
                 continue
             _, feats, stride = op
-            if nchw:
+            if nhcw:
                 x = _PallasConv(
                     feats, stride, dtype=self.dtype, name=f"Conv_{idx}"
                 )(x)
-                x = _BN(self.dtype, axis=1, name=f"_BN_{idx}")(x, train)
+                x = _BN(self.dtype, axis=2, name=f"_BN_{idx}")(x, train)
             else:
                 x = nn.Conv(
                     feats, (3, 3), strides=(stride, stride), padding=1,
@@ -135,9 +135,9 @@ class PhysiqueMaskGenerator(nn.Module):
             x = nn.leaky_relu(x, negative_slope=0.01)
             idx += 1
 
-        if nchw:
+        if nhcw:
             x = _PallasConv(1, 1, dtype=self.dtype, name=f"Conv_{idx}")(x)
-            b, c, h, w = x.shape
+            b, h, c, w = x.shape
             x = x.reshape(b, h, w, c)  # C == 1: reshape == transpose
         else:
             x = nn.Conv(
