@@ -110,7 +110,7 @@ def _remat_mode(cfg) -> str:
         return "full"
     if cfg is False or cfg is None:
         return "none"
-    if cfg in ("none", "full", "decode", "head_decode"):
+    if cfg in ("none", "full", "decode", "head_decode", "pseudo"):
         return cfg
     raise ValueError(f"unknown remat mode {cfg!r}")
 
@@ -129,13 +129,18 @@ def _stack_cam_images(batch: dict, cams, suffix: str) -> jax.Array:
     return jnp.concatenate(imgs, axis=0)
 
 
-def _detector_apply(spec, det_vars, img, train):
+def _detector_apply(spec, det_vars, img, train, force_remat=False):
     """One (camera-batched) detector forward + updated batch stats.
 
     Rematerialization policy (spec.remat_mode):
       * 'full': jax.checkpoint around the whole forward — the step runs the
         detector up to 3x per iteration on (C*B)-sized batches; recompute
         each forward rather than store all their activations.
+      * 'pseudo': checkpoint only the forwards a caller marks with
+        force_remat (the pseudo-image stream): its activations are dead
+        weight between the forward and the very end of the backward, so
+        recomputing that one forward (~fwd cost) relieves HBM pressure
+        without touching the camera stream.
       * 'head_decode': checkpoint ONLY the final 1x1 conv + integral decode.
         The K*D-channel logits ARE the (K, D, H, W) softmax volume (~tens
         of MB per image in fp32) and dominate saved activations; the plain
@@ -177,7 +182,7 @@ def _detector_apply(spec, det_vars, img, train):
         )
         return out.kps, out.depth_prob_map, mutated["batch_stats"]
 
-    if spec.remat_mode == "full":
+    if spec.remat_mode == "full" or force_remat:
         fwd = jax.checkpoint(fwd)
     kps, depth_map, new_stats = fwd(
         det_vars["params"], stats_in, img
@@ -343,7 +348,10 @@ def generator_forward(
 
     if "smpl_pseudo_img_loss" in loss_cfg:
         pseudo_imgs = _stack_cam_images(batch, cams, "pseudo_img")
-        decode_p, det_vars = _detector_apply(spec, det_vars, pseudo_imgs, train)
+        decode_p, det_vars = _detector_apply(
+            spec, det_vars, pseudo_imgs, train,
+            force_remat=(spec.remat_mode == "pseudo"),
+        )
         pred_all = decode_p.kps.reshape(nc, b, nh, *decode_p.kps.shape[2:])
 
         loss_pseudo = 0.0

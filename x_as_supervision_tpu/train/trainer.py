@@ -107,7 +107,13 @@ class Trainer:
         else:
             self.disc_interval, self.gen_interval = 1, int(round(1.0 / interval))
 
-        self.mesh = M.make_mesh()
+        # Optional tensor parallelism over the mesh's `model` axis
+        # (train_params.model_parallelism, default 1 = pure DP like the
+        # reference's DDP; parallel/tp.py for the sharding rules).
+        self.model_parallelism = int(
+            config["train_params"].get("model_parallelism", 1)
+        )
+        self.mesh = M.make_mesh(model_parallelism=self.model_parallelism)
         self.seed = seed if seed != -1 else int(time.time()) % (2**31)
         self.rng = jax.random.PRNGKey(self.seed)
 
@@ -144,7 +150,12 @@ class Trainer:
                 print("Finetuning from checkpoint (optimizers reset)")
             else:
                 raise NotImplementedError(mode)
-        self.state = M.replicate_state(state, self.mesh)
+        if self.model_parallelism > 1:
+            from ..parallel.tp import shard_state
+
+            self.state = shard_state(state, self.mesh)
+        else:
+            self.state = M.replicate_state(state, self.mesh)
 
         from ..data.loader import BatchLoader
 
