@@ -189,7 +189,7 @@ def test_remat_modes_numerically_identical():
     batch = {k: jnp.asarray(v) for k, v in ds.device_batch(0, 2).items()}
 
     results = {}
-    for mode in ("none", "head_decode", "full"):
+    for mode in ("none", "head_decode", "full", "pseudo"):
         cfg = {k: (dict(v) if isinstance(v, dict) else v)
                for k, v in TINY_CONFIG.items()}
         cfg["model_params"] = dict(cfg["model_params"], remat=mode)
