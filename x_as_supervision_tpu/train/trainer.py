@@ -16,6 +16,7 @@ import time
 from shutil import copy as copy_file
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import mesh as M
@@ -107,6 +108,9 @@ class Trainer:
         else:
             self.disc_interval, self.gen_interval = 1, int(round(1.0 / interval))
 
+        # TB scalar cadence (1 = every step, reference parity; raise it on
+        # high-latency links — each log costs one device->host round trip).
+        self.log_interval = int(config["train_params"].get("log_interval", 1))
         # Optional tensor parallelism over the mesh's `model` axis
         # (train_params.model_parallelism, default 1 = pure DP like the
         # reference's DDP; parallel/tp.py for the sharding rules).
@@ -230,7 +234,20 @@ class Trainer:
                 if cur_step % 50 == 0:
                     self.timer.log(tb_logger, cur_step, self.images_per_step)
 
-                if jax.process_index() == 0 and tb_logger is not None:
+                if (
+                    jax.process_index() == 0 and tb_logger is not None
+                    and cur_step % self.log_interval == 0
+                ):
+                    # ONE device->host transfer for all scalar metrics: the
+                    # per-key float() fetches inside tb_vis would each pay a
+                    # full link round trip (minutes/step through a remote
+                    # tunnel; measurable even on a local PCIe host).
+                    keys = sorted(metrics)
+                    packed = np.asarray(jnp.stack(
+                        [jnp.asarray(metrics[k], jnp.float32).mean()
+                         for k in keys]
+                    ))
+                    metrics = dict(zip(keys, packed))
                     loss_kp = {
                         k.split("loss/", 1)[1]: v
                         for k, v in metrics.items()
