@@ -66,6 +66,9 @@ def test_tp_spec_rules():
     assert tp_spec(A((3, 3, 8, 64)), 1) == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow  # ~4 min: two full fused-step compiles on the CPU mesh.
+# The DP+TP combination is also exercised (1 step, same mesh shape) by
+# __graft_entry__.dryrun_multichip, which the driver runs every round.
 @pytest.mark.skipif(
     jax.device_count() < 8, reason="needs the 8-virtual-device CPU mesh"
 )
