@@ -164,6 +164,7 @@ def _vmem(*shapes_dtypes):
 
 def _marginals_fwd_impl(logits: jax.Array, k: int):
     b, h, w, c = logits.shape
+    assert k <= JP, f"kernel packs joints into {JP} lanes; got K={k}"
     d = c // k
     ht = _pick_ht(h)
     nt = h // ht
