@@ -24,6 +24,10 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # two local CPU devices per process -> a 4-device global mesh, so the
+    # (data, model) = (2, 2) train step below exercises BOTH cross-process
+    # data parallelism and tensor parallelism.
+    jax.config.update("jax_num_cpu_devices", 2)
 
     sys.path.insert(0, "/root/repo")
     from x_as_supervision_tpu.parallel.mesh import initialize_multihost
@@ -96,6 +100,48 @@ def main():
     result["reduced_2d"] = reduced_tables[0]
     result["reduced_3d_mpjpe"] = reduced_tables[2]["mpjpe"]
     result["reduced_ambiguity"] = reduced_tables[6]
+
+    # --- one fused GAN train step over the global (data=2, model=2) mesh:
+    # params/moments channel-TP-sharded, batch data-sharded across the two
+    # processes (the full multi-host GSPMD path, incl. global-array
+    # construction via mesh.put_with_sharding) ---
+    sys.path.insert(0, "/root/repo/tests")
+    from test_train_step import TINY_CONFIG
+
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.parallel.tp import shard_state
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state, make_optimizers, make_train_step,
+    )
+
+    assert jax.device_count() == 2 * num_procs
+    cfg = {k: v for k, v in TINY_CONFIG.items()}
+    spec = build_gan_spec(cfg)
+    ds_step = SyntheticPoseDataset(
+        num_samples=4, cam_id_list=cfg["model_params"]["cam_id_list"],
+        patch_size=64, seed=5,
+    )
+    local, offset = M.process_local_batch_slice(4)
+    full = ds_step.device_batch(0, 4)
+    local_batch = {
+        k: np.asarray(v)[offset:offset + local] for k, v in full.items()
+    }
+
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), local_batch, opt_det, opt_disc
+    )
+    mesh = M.make_mesh(model_parallelism=2)
+    state = shard_state(state, mesh)
+    sharded = M.shard_batch(local_batch, mesh)
+    step = make_train_step(spec, opt_det, opt_disc)
+    state, metrics, _ = step(
+        state, sharded, jax.random.PRNGKey(9), do_disc=True, do_gen=True,
+        with_outputs=False,
+    )
+    result["tp_step_loss"] = float(metrics["loss_total"])
+    result["tp_step_disc"] = float(metrics["loss_disc"])
 
     with open(out_path, "w") as f:
         json.dump(result, f)

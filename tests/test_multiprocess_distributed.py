@@ -55,7 +55,7 @@ def worker_results(tmp_path_factory):
     results = []
     for p, out in zip(procs, outs):
         try:
-            _, err = p.communicate(timeout=600)
+            _, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             p.kill()
             pytest.fail("distributed worker timed out")
@@ -83,6 +83,50 @@ def test_cross_host_mean_across_processes(worker_results):
     for r in worker_results:
         np.testing.assert_allclose(r["cross_host_mean"]["a"], 0.5)
         np.testing.assert_allclose(r["cross_host_mean"]["b"], 2.0)
+
+
+def test_cross_process_tp_step_matches_single_process(worker_results):
+    """The fused GAN step on the workers' global (data=2, model=2) mesh —
+    params TP-sharded, batch split across the two processes — must produce
+    the same losses as a single-process DP run of the identical global
+    batch."""
+    l0 = worker_results[0]["tp_step_loss"]
+    l1 = worker_results[1]["tp_step_loss"]
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+
+    import jax
+
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state, make_optimizers, make_train_step,
+    )
+    from test_train_step import TINY_CONFIG
+
+    cfg = {k: v for k, v in TINY_CONFIG.items()}
+    spec = build_gan_spec(cfg)
+    ds = SyntheticPoseDataset(
+        num_samples=4, cam_id_list=cfg["model_params"]["cam_id_list"],
+        patch_size=64, seed=5,
+    )
+    batch = ds.device_batch(0, 4)
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), batch, opt_det, opt_disc
+    )
+    mesh = M.make_mesh(jax.devices()[:4])  # batch 4 over the data axis
+    state = M.replicate_state(state, mesh)
+    sharded = M.shard_batch(batch, mesh)
+    step = make_train_step(spec, opt_det, opt_disc)
+    _, metrics, _ = step(
+        state, sharded, jax.random.PRNGKey(9), do_disc=True, do_gen=True,
+        with_outputs=False,
+    )
+    np.testing.assert_allclose(l0, float(metrics["loss_total"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        worker_results[0]["tp_step_disc"], float(metrics["loss_disc"]),
+        rtol=2e-4,
+    )
 
 
 def test_sharded_eval_reduces_to_single_process_tables(worker_results):

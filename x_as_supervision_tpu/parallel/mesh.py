@@ -48,17 +48,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_with_sharding(x, sh: NamedSharding):
+    """Place one array under `sh`. Single-process: plain device_put.
+    Multi-process: `jax.device_put` cannot address remote devices, so the
+    global array is assembled from this process's local data
+    (jax.make_array_from_process_local_data) — for shardings whose
+    process-crossing axes carry the batch, the local data IS this host's
+    input-pipeline slice (process_local_batch_slice), and replicated /
+    process-locally-sharded leaves pass their full value."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """device_put every array in the batch dict with its batch axis sharded
+    """Place every array in the batch dict with its batch axis sharded
     over `data` (the DistributedSampler equivalent: each chip sees its
     shard; reference: train.py:278)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: put_with_sharding(x, sh), batch)
 
 
 def replicate_state(tree, mesh: Mesh):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: put_with_sharding(x, rep), tree)
 
 
 def initialize_multihost(

@@ -35,7 +35,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import MODEL_AXIS
+from .mesh import MODEL_AXIS, put_with_sharding
 
 MIN_VECTOR = 64  # don't bother sharding tiny per-channel vectors
 
@@ -73,8 +73,11 @@ def state_shardings(tree, mesh: Mesh):
 
 
 def shard_state(tree, mesh: Mesh):
-    """device_put the state with channel-TP shardings (== replicate_state
-    when the mesh has no model parallelism)."""
+    """Place the state with channel-TP shardings (== replicate_state when
+    the mesh has no model parallelism). Multi-process: with make_mesh's
+    (data, model) device grid the model axis lies WITHIN each process
+    (data crosses processes), so every process passes its full local
+    value (mesh.put_with_sharding)."""
     return jax.tree.map(
-        jax.device_put, tree, state_shardings(tree, mesh)
+        put_with_sharding, tree, state_shardings(tree, mesh)
     )
