@@ -101,6 +101,36 @@ def main():
     result["reduced_3d_mpjpe"] = reduced_tables[2]["mpjpe"]
     result["reduced_ambiguity"] = reduced_tables[6]
 
+    # --- reduce_hosts ambiguity ratio with UNEQUAL shards (5 batches over
+    # 2 processes): record() must normalize by the cross-host batch count,
+    # giving every process the same global ratio ---
+    ds_odd = SyntheticPoseDataset(num_samples=10, cam_id_list=(0, 1),
+                                  patch_size=32, seed=3)
+    ev_odd = Evaluator(
+        config, StubDetector(), {}, ds_odd, out_path + ".evaldir_odd",
+        img_size=32.0, batch_size=batch_size,
+    )
+    result["odd_my_batches"] = ev_odd.my_batches
+    odd_tables = ev_odd.eval(mode="confident")
+    result["odd_local_ambiguity"] = float(odd_tables[6])
+    ev_odd.record(*odd_tables, reduce_hosts=True)
+    result["odd_ambiguity_ratio"] = ev_odd.last_ambiguity_ratio
+
+    # --- cross-process mixed MPI+HM36 dataset (reference dataloader.py:
+    # 265-342): with BatchLoader(num_shards=2) each process must draw from
+    # the SAME epoch-keyed reshuffle so the global epoch composition is
+    # well-defined; fingerprints are compared positionally in the test ---
+    sys.path.insert(0, "/root/repo/tests")
+    from fixture_helpers import make_mixed_fingerprint_loader
+
+    mixed_loader = make_mixed_fingerprint_loader(
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
+    for ep in (0, 1):
+        result[f"mixed_fp_e{ep}"] = [
+            float(v) for b in mixed_loader.epoch(ep) for v in b["fp"]
+        ]
+
     # --- one fused GAN train step over the global (data=2, model=2) mesh:
     # params/moments channel-TP-sharded, batch data-sharded across the two
     # processes (the full multi-host GSPMD path, incl. global-array

@@ -137,6 +137,41 @@ def run_surreal_constructor(shard, out, target=256, sample_times=4, seed=0):
     return written
 
 
+def make_mixed_fingerprint_loader(num_shards=1, shard_index=0):
+    """A mixed MPI+HM36 dataset whose sample() returns a cheap numeric
+    fingerprint of the selected record (no cv2/io), wrapped in a
+    BatchLoader — used to compare epoch composition across real
+    processes positionally."""
+    from test_mixed_and_2d_datasets import _FakeIMDB, _fake_record
+
+    from x_as_supervision_tpu.data.loader import BatchLoader
+    from x_as_supervision_tpu.data.pipeline import mpi_inf_3dhp_hm36_Dataset
+
+    class FingerprintMixed(mpi_inf_3dhp_hm36_Dataset):
+        def sample(self, index):
+            path = self._select(index)["cam_0"].image  # "/fake/<tag>.jpg"
+            tag = path.rsplit("/", 1)[1].split(".")[0]
+            kind, num = ("mpi", tag[3:]) if tag.startswith("mpi") \
+                else ("hm", tag[2:])
+            return {"fp": np.float64((0 if kind == "mpi" else 1000)
+                                     + int(num))}
+
+    mpi_db = [_fake_record(f"mpi{i}", [0, 2, 4, 7, 8]) for i in range(6)]
+    hm_db = [_fake_record(f"hm{i}", [0, 1, 2, 3]) for i in range(10)]
+    ds = FingerprintMixed(
+        [_FakeIMDB(mpi_db), _FakeIMDB(hm_db)], True,
+        patch_width=64, patch_height=64, rect_3d_width=2000,
+        rect_3d_height=2000, batch_size=2, mean=None, std=None,
+        aug_config={}, label_func=None, cam_id_list=[0, 1, 2, 3],
+        geodesic_pt_list=[], geodesic_param_list=[2, 1, 3, 20, 0.0],
+        smpl_pseudo_img=None, rm_bg=False,
+    )
+    return BatchLoader(
+        ds, batch_size=4, shuffle=True, num_workers=2, prefetch=1,
+        num_shards=num_shards, shard_index=shard_index,
+    )
+
+
 def make_mini_h36m(root, img_size=640, n_frames=8, seed=0):
     """Write the on-disk mini-H36M under <root>/hm36 (images rendered from
     the GT joints; SAM masks = the rendered body). Uses the same meta-file

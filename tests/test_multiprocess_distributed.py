@@ -176,3 +176,42 @@ def test_sharded_eval_reduces_to_single_process_tables(worker_results):
             )
         np.testing.assert_allclose(2.0 * r["reduced_ambiguity"], full[6],
                                    rtol=1e-6)
+
+
+def test_mixed_dataset_epoch_composition_across_processes(worker_results):
+    """The mixed MPI+HM36 dataset's epoch-keyed reshuffle must be
+    identical on every process: with BatchLoader(num_shards=2), shard 0
+    takes the first half and shard 1 the second half of each global batch
+    of the SAME epoch order, and their interleave equals the
+    single-process epoch exactly (reference dataloader.py:265-342)."""
+    from fixture_helpers import make_mixed_fingerprint_loader
+
+    single = make_mixed_fingerprint_loader(num_shards=1, shard_index=0)
+    for ep in (0, 1):
+        full = [float(v) for b in single.epoch(ep) for v in b["fp"]]
+        f0 = worker_results[0][f"mixed_fp_e{ep}"]
+        f1 = worker_results[1][f"mixed_fp_e{ep}"]
+        assert len(f0) == len(f1) == len(full) // 2
+        # positional: global batch b = shard0's pair then shard1's pair
+        interleaved = []
+        for s in range(len(full) // 4):
+            interleaved += f0[2 * s : 2 * s + 2] + f1[2 * s : 2 * s + 2]
+        assert interleaved == full, f"epoch {ep} composition differs"
+    # the hm36 half actually reshuffles between epochs
+    hm0 = [v for v in worker_results[0]["mixed_fp_e0"] if v >= 1000]
+    hm1 = [v for v in worker_results[0]["mixed_fp_e1"] if v >= 1000]
+    assert hm0 and (hm0 != hm1)
+
+
+def test_reduce_hosts_ambiguity_ratio_unequal_shards(worker_results):
+    """5 batches over 2 processes (3 vs 2): the reduce_hosts ambiguity
+    ratio must be identical on both processes and equal the global
+    sum(ambiguity) / total_batches / cams."""
+    r0, r1 = worker_results
+    assert r0["odd_my_batches"] == [0, 2, 4]
+    assert r1["odd_my_batches"] == [1, 3]
+    expected = (
+        (r0["odd_local_ambiguity"] + r1["odd_local_ambiguity"]) / 5.0 / 2.0
+    )
+    np.testing.assert_allclose(r0["odd_ambiguity_ratio"], expected, rtol=1e-6)
+    np.testing.assert_allclose(r1["odd_ambiguity_ratio"], expected, rtol=1e-6)

@@ -1,4 +1,4 @@
-"""NCHW/Pallas physique path vs the NHWC flax path: same parameter tree,
+"""NHCW/Pallas physique path vs the NHWC flax path: same parameter tree,
 same outputs and gradients (interpret mode on CPU)."""
 
 import numpy as np

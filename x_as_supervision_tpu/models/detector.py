@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import integral
+from ..utils.platform import pallas_ok
 from .resnet import ResPoseNet
 
 
@@ -111,7 +112,12 @@ def build_detector(detector_params: dict, dtype=jnp.float32,
         dtype=dtype,
         remat_decode=remat_decode,
         fp32_logits=detector_params.get("fp32_logits", True),
-        use_pallas=detector_params.get("use_pallas"),
+        # Same gate as the physique net's pallas flag (train/factory.py):
+        # the decode kernels have no GSPMD partitioning rule, so a config-
+        # enabled flag must not survive onto a multi-device mesh or a
+        # non-TPU backend. None (= auto) passes through untouched.
+        use_pallas=(detector_params.get("use_pallas") and pallas_ok())
+        if detector_params.get("use_pallas") is not None else None,
     )
     if name == "resnet_multi":
         return KPDetector3DMulti(

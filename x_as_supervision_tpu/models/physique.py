@@ -103,7 +103,13 @@ class PhysiqueMaskGenerator(nn.Module):
         nhcw = self.use_pallas
         if nhcw:
             b, h, w, c = x.shape
-            # C == 1 at entry: NHWC -> NHCW is a pure reshape.
+            # The NHWC -> NHCW boundary is a pure reshape ONLY for c == 1;
+            # any other channel count would scramble channel/width data.
+            if c != 1:
+                raise ValueError(
+                    f"physique pallas path requires a 1-channel input, got "
+                    f"c={c}; use use_pallas=False for multi-part inputs"
+                )
             x = x.reshape(b, h, c, w)
 
         idx = 0
@@ -138,7 +144,8 @@ class PhysiqueMaskGenerator(nn.Module):
         if nhcw:
             x = _PallasConv(1, 1, dtype=self.dtype, name=f"Conv_{idx}")(x)
             b, h, c, w = x.shape
-            x = x.reshape(b, h, w, c)  # C == 1: reshape == transpose
+            assert c == 1  # final conv is 1-feature: reshape == transpose
+            x = x.reshape(b, h, w, c)
         else:
             x = nn.Conv(
                 1, (3, 3), padding=1, dtype=self.dtype, kernel_init=_KAIMING,

@@ -41,9 +41,9 @@ _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 class _BN(nn.Module):
     """BatchNorm with fp32 statistics regardless of compute dtype.
 
-    axis: the feature axis (-1 for NHWC, 1 for the physique net's NCHW
-    Pallas path); the (C,) parameter shapes are identical either way, so
-    checkpoints are layout-agnostic."""
+    axis: the feature axis (-1 for NHWC, 2 for the physique net's NHCW
+    (B, H, C, W) Pallas path); the (C,) parameter shapes are identical
+    either way, so checkpoints are layout-agnostic."""
 
     dtype: Any = jnp.float32
     axis: int = -1

@@ -69,25 +69,6 @@ def _pick_ht(h: int) -> int:
     return h
 
 
-def _shift_cols(row: jnp.ndarray, s: int) -> jnp.ndarray:
-    """row (Cin, W) -> piece with piece[:, w] = row[:, w + s], zero where
-    w + s is out of range (SAME padding). s in {-1, 0, 1}."""
-    if s == 0:
-        return row
-    w = row.shape[-1]
-    if _use_interpret():
-        rolled = jnp.roll(row, -s, axis=1)
-    else:
-        # pltpu.roll: shift must be non-negative ((-s) % w is equivalent)
-        # and Mosaic only rotates 32-bit data — round-trip bf16 via f32.
-        r32 = pltpu.roll(row.astype(jnp.float32), (-s) % w, 1)
-        rolled = r32.astype(row.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    if s > 0:
-        return jnp.where(lane >= w - s, jnp.zeros_like(rolled), rolled)
-    return jnp.where(lane < -s, jnp.zeros_like(rolled), rolled)
-
-
 def _shift_block(block: jnp.ndarray, s: int) -> jnp.ndarray:
     """Whole-scratch column shift: out[:, w] = block[:, w + s], zeros out
     of range. One roll per tile instead of one per (row, tap)."""

@@ -303,13 +303,18 @@ class Evaluator:
         format (reference: eval.py:206-298). reduce_hosts=True averages the
         tables across processes (the reference reports rank-0's shard only,
         SURVEY §7.5; this is the documented opt-in deviation)."""
+        # The ratio denominator must be reduced TOGETHER with the ambiguity
+        # sum: mean(sum_p)/mean(count_p) == sum/sum, so the ratio stays
+        # correct even when num_batches % process_count != 0 (unequal
+        # shards would otherwise give every process a different number).
+        batch_count = float(len(self.my_batches))
         if reduce_hosts:
             from ..parallel.collectives import cross_host_mean
 
-            (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity) = (
-                cross_host_mean(
-                    (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity)
-                )
+            (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity,
+             batch_count) = cross_host_mean(
+                (rec2d, cnt2d, rec3d, cnt3d, rec3dt, cnt3dt, ambiguity,
+                 batch_count)
             )
         eval_dir = os.path.join(self.log_dir, "eval")
         os.makedirs(eval_dir, exist_ok=True)
@@ -359,8 +364,10 @@ class Evaluator:
                             + (" %\n" if key in ("pck", "auc") else "\n"))
 
         # per-process normalization, like the reference's per-rank loader
-        # length (reference eval.py:336)
-        ratio = ambiguity / max(1, len(self.my_batches)) / len(self.cam_id_list)
+        # length (reference eval.py:336); under reduce_hosts both terms are
+        # cross-host means, so the ratio is the global one.
+        ratio = ambiguity / max(1.0, batch_count) / len(self.cam_id_list)
+        self.last_ambiguity_ratio = float(ratio)
         print(f"Results saved in {path}")
         print(f"Ambiguity Ratio:{ratio}")
         return path

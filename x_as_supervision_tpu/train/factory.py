@@ -13,21 +13,12 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-import jax
-
 from ..models.composed import GanSpec, cal_links
 from ..models.detector import build_detector
 from ..models.discriminator import build_discriminator
 from ..models.physique import PhysiqueMaskGenerator
 from ..models import smpl as smpl_mod
-
-
-def _pallas_ok() -> bool:
-    """Pallas kernels are enabled on a real TPU backend in single-device
-    processes. Under a multi-device GSPMD mesh the custom calls have no
-    partitioning rule yet (the XLA paths are used there; see ROADMAP.md),
-    and on CPU the interpret-mode kernels are for tests only."""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+from ..utils.platform import pallas_ok as _pallas_ok
 
 
 def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:

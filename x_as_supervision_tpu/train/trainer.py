@@ -11,6 +11,7 @@ host only drives data and logging.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from shutil import copy as copy_file
@@ -111,6 +112,11 @@ class Trainer:
         # TB scalar cadence (1 = every step, reference parity; raise it on
         # high-latency links — each log costs one device->host round trip).
         self.log_interval = int(config["train_params"].get("log_interval", 1))
+        # Image-panel cadence: the reference logs panels every 50 steps
+        # (reference: train.py:196-199). Align it with log_interval so the
+        # expensive with_outputs=True step only renders outputs on steps
+        # that actually reach tb_vis.
+        self.vis_interval = math.lcm(50, self.log_interval)
         # Optional tensor parallelism over the mesh's `model` axis
         # (train_params.model_parallelism, default 1 = pure DP like the
         # reference's DDP; parallel/tp.py for the sharding rules).
@@ -221,7 +227,8 @@ class Trainer:
                 sharded = M.shard_batch(device_batch, self.mesh)
                 step_rng = jax.random.fold_in(self.rng, cur_step)
                 want_outputs = (
-                    jax.process_index() == 0 and cur_step % 50 == 0
+                    jax.process_index() == 0
+                    and cur_step % self.vis_interval == 0
                 )
                 self.state, metrics, outputs = self.step_fn(
                     self.state, sharded, step_rng,
