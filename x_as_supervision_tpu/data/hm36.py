@@ -143,6 +143,12 @@ SUBSET_POLICIES = {
     # miniature on-disk datasets; no reference analogue (it hardcodes the
     # production splits only).
     "mini": (-1, 1, 0, 1, [5]),
+    # self-rendered accuracy-campaign splits (tools/render_campaign.py):
+    # train = first 12 folders of s_01, valid = first 6 of s_09, every
+    # frame; no reference analogue (the reference hardcodes the
+    # production Human3.6M splits only).
+    "campaign_train": (-1, 1, 0, 12, [0]),
+    "campaign_valid": (-1, 1, 0, 6, [5]),
 }
 
 # Actions dropped by the train_selected policy (reference: hm36.py:343-346).

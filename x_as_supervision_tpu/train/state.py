@@ -51,23 +51,39 @@ class TrainState:
 
 
 def multistep_schedule(
-    base_lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1
+    base_lr: float, milestones, steps_per_epoch: int, gamma: float = 0.1,
+    every: int = 1,
 ):
-    """MultiStepLR(gamma) in step units. Reference: train.py:78-84."""
+    """MultiStepLR(gamma) in step units. Reference: train.py:78-84.
+
+    `every`: the optimizer's update cadence in global steps. The optax
+    count only advances when the optimizer actually updates, while torch's
+    MultiStepLR steps per EPOCH regardless of cadence — so a milestone at
+    epoch m corresponds to update count ceil(m * steps_per_epoch / every),
+    not m * steps_per_epoch. (Caught by the trajectory parity harness,
+    tests/test_reference_parity_trainer.py, with update_interval=2.)
+    """
     if base_lr == 0.0:
         return optax.constant_schedule(0.0)
     boundaries = {
-        int(m) * steps_per_epoch: gamma for m in (milestones or [])
+        -(-int(m) * steps_per_epoch // every): gamma
+        for m in (milestones or [])
     }
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
-def make_optimizers(train_params: dict, steps_per_epoch: int):
-    """Two Adam(0.5, 0.999) chains. Reference: train.py:257-262."""
+def make_optimizers(train_params: dict, steps_per_epoch: int,
+                    disc_every: int = 1, gen_every: int = 1):
+    """Two Adam(0.5, 0.999) chains. Reference: train.py:257-262.
+
+    disc_every / gen_every: the update_interval cadence (reference
+    train.py:94-99), needed to time the LR milestones in each chain's own
+    update-count units (see multistep_schedule)."""
     milestones = train_params.get("epoch_milestones", [])
     opt_det = optax.adam(
         multistep_schedule(
-            float(train_params["lr_kp_detector"]), milestones, steps_per_epoch
+            float(train_params["lr_kp_detector"]), milestones,
+            steps_per_epoch, every=gen_every,
         ),
         b1=0.5,
         b2=0.999,
@@ -77,6 +93,7 @@ def make_optimizers(train_params: dict, steps_per_epoch: int):
             float(train_params.get("lr_discriminator", 0.0)),
             milestones,
             steps_per_epoch,
+            every=disc_every,
         ),
         b1=0.5,
         b2=0.999,

@@ -94,13 +94,10 @@ class Trainer:
         self.spec = build_gan_spec(
             config, dtype=dtype if dtype is not None else jnp.bfloat16
         )
-        self.opt_det, self.opt_disc = make_optimizers(tp, self.steps_per_epoch)
-        self._lr_schedule = multistep_schedule(
-            float(tp["lr_kp_detector"]), tp.get("epoch_milestones", []),
-            self.steps_per_epoch,
-        )
 
-        # GAN cadence (reference: train.py:94-99).
+        # GAN cadence (reference: train.py:94-99) — needed before the
+        # optimizers so each chain's LR milestones land in its own
+        # update-count units (state.py:multistep_schedule).
         interval = config["model_params"]["loss_config"].get(
             "smpl_disc_loss", {}
         ).get("update_interval", 1)
@@ -108,6 +105,15 @@ class Trainer:
             self.disc_interval, self.gen_interval = int(interval), 1
         else:
             self.disc_interval, self.gen_interval = 1, int(round(1.0 / interval))
+
+        self.opt_det, self.opt_disc = make_optimizers(
+            tp, self.steps_per_epoch,
+            disc_every=self.disc_interval, gen_every=self.gen_interval,
+        )
+        self._lr_schedule = multistep_schedule(
+            float(tp["lr_kp_detector"]), tp.get("epoch_milestones", []),
+            self.steps_per_epoch, every=self.gen_interval,
+        )
 
         # TB scalar cadence (1 = every step, reference parity; raise it on
         # high-latency links — each log costs one device->host round trip).
