@@ -198,14 +198,16 @@ class TikTok_dataset(BatchAssembly):
 class mpii_dataset(BatchAssembly):
     """MPII validation mono dataset. Reference: dataloader_2d.py:234-276."""
 
-    def __init__(self, database, mode="valid"):
+    def __init__(self, database, mode="valid", patch_size: int = 256):
         assert mode == "valid", "only used for validation"
         self.data_db = database.gt_db()
+        self.patch_size = patch_size
 
     def sample(self, index: int) -> dict:
         smp = self.data_db[index]["cam_mono"]
         img, mask, trans = generate_mono_item(
-            smp, ct_padding=False, use_mask_center=False
+            smp, ct_padding=False, use_mask_center=False,
+            patch_size=self.patch_size,
         )
         out = {
             "cam_mono_img_ori": img.astype(np.float32),
