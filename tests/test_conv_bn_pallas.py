@@ -1,0 +1,110 @@
+"""Fused BN+ReLU+conv3x3+stats kernel vs the XLA chain (interpret mode).
+
+Covers the production candidate shapes (ResNet stage 2/3/4 3x3 convs at
+the bench stream size scaled down), odd batch, non-square feature maps,
+bf16 inputs, chained two-link usage through make_stats_fold, and edge
+correctness (SAME zero padding on all four borders).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x_as_supervision_tpu.ops.conv_bn_pallas import (
+    fused_bn_relu_conv,
+    make_stats_fold,
+    xla_bn_relu_conv,
+)
+
+
+def _case(b, h, w, c, co, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype)
+    wt = jnp.asarray(rng.normal(size=(3, 3, c, co)) * 0.05, dtype)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=c) * 0.1, jnp.float32)
+    return x, wt, scale, shift
+
+
+@pytest.mark.parametrize(
+    "b,h,w,c,co",
+    [
+        (2, 8, 8, 128, 128),    # stage-4-like
+        (2, 16, 16, 128, 128),  # stage-3-like (C scaled to fit CPU time)
+        (3, 8, 16, 128, 128),   # non-square
+        (1, 8, 8, 128, 256),    # widening link
+    ],
+)
+def test_matches_xla_chain(b, h, w, c, co):
+    x, wt, scale, shift = _case(b, h, w, c, co)
+    y1, s1 = fused_bn_relu_conv(x, wt, scale, shift)
+    y0, s0 = xla_bn_relu_conv(x, wt, scale, shift)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_bf16_inputs():
+    x, wt, scale, shift = _case(2, 8, 8, 128, 128, dtype=jnp.bfloat16)
+    y1, s1 = fused_bn_relu_conv(x, wt, scale, shift)
+    y0, s0 = xla_bn_relu_conv(x, wt, scale, shift)
+    assert y1.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y1, np.float32), np.asarray(y0, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=5e-2, atol=2.0)
+
+
+def test_border_zero_padding_exact():
+    """An all-ones input makes border effects visible: interior pixels sum
+    9 taps, corners 4, edges 6 (after BN fold scale=1 shift=0)."""
+    c = 128
+    x = jnp.ones((1, 8, 8, c), jnp.float32)
+    wt = jnp.zeros((3, 3, c, c), jnp.float32)
+    # one active tap pair to probe the halo: center tap + top-left tap
+    wt = wt.at[1, 1, 0, 0].set(1.0)
+    wt = wt.at[0, 0, 0, 0].set(1.0)
+    y, _ = fused_bn_relu_conv(x, wt, jnp.ones(c), jnp.zeros(c))
+    out = np.asarray(y)[0, :, :, 0]
+    assert out[0, 0] == 1.0  # top-left: no top-left neighbor
+    assert out[1, 1] == 2.0  # interior: center + top-left neighbor
+    assert out[0, 3] == 1.0  # top edge
+    assert out[3, 0] == 1.0  # left edge
+
+
+def test_two_link_chain_matches_reference_bn_semantics():
+    """stats -> make_stats_fold -> next link == explicit batch-norm chain."""
+    b, h, w, c = 2, 8, 8, 128
+    x, w1, scale, shift = _case(b, h, w, c, c, seed=3)
+    w2 = jnp.asarray(
+        np.random.default_rng(4).normal(size=(3, 3, c, c)) * 0.05,
+        jnp.float32,
+    )
+    gamma = jnp.asarray(np.random.default_rng(5).uniform(0.5, 1.5, c),
+                        jnp.float32)
+    beta = jnp.asarray(np.random.default_rng(6).normal(size=c) * 0.1,
+                       jnp.float32)
+
+    y1, stats1 = fused_bn_relu_conv(x, w1, scale, shift)
+    n = b * h * w
+    sc2, sh2 = make_stats_fold(stats1, gamma, beta, n)
+    y2, _ = fused_bn_relu_conv(y1, w2, sc2, sh2)
+
+    # explicit reference: BN(y1) with batch stats, affine, relu, conv
+    y1f = np.asarray(y1, np.float64)
+    mean = y1f.mean(axis=(0, 1, 2))
+    var = y1f.var(axis=(0, 1, 2))
+    xn = (y1f - mean) / np.sqrt(var + 1e-5) * np.asarray(gamma) + np.asarray(
+        beta
+    )
+    xn = np.maximum(xn, 0.0)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xn, jnp.float32), w2, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref),
+                               rtol=5e-4, atol=5e-3)
