@@ -39,12 +39,14 @@ class KPDetector3D(nn.Module):
     remat_decode: bool = False
     fp32_logits: bool = True
     use_pallas: bool | None = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
-            fp32_logits=self.fp32_logits, name="net",
+            fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
+            name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -73,6 +75,7 @@ class KPDetector3DMulti(nn.Module):
     remat_decode: bool = False
     fp32_logits: bool = True
     use_pallas: bool | None = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
@@ -84,7 +87,8 @@ class KPDetector3DMulti(nn.Module):
         saved activations."""
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
-            fp32_logits=self.fp32_logits, name="net",
+            fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
+            name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -112,6 +116,9 @@ def build_detector(detector_params: dict, dtype=jnp.float32,
         dtype=dtype,
         remat_decode=remat_decode,
         fp32_logits=detector_params.get("fp32_logits", True),
+        # per-camera BN statistics (reference semantics); set by the
+        # factory from model_params.per_camera_bn
+        bn_groups=int(detector_params.get("bn_groups", 1)),
         # Same gate as the physique net's pallas flag (train/factory.py):
         # the decode kernels have no GSPMD partitioning rule, so a config-
         # enabled flag must not survive onto a multi-device mesh or a

@@ -85,6 +85,9 @@ class PhysiqueMaskGenerator(nn.Module):
     num_parts: int = 1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # per-camera BN statistics groups (reference per-camera forward
+    # semantics; see models/resnet._BN). NHWC path only.
+    bn_groups: int = 1
 
     def _stages(self):
         """Encoder: conv -> (conv + stride-2 down) per scale; decoder
@@ -137,7 +140,8 @@ class PhysiqueMaskGenerator(nn.Module):
                     dtype=self.dtype, kernel_init=_KAIMING,
                     name=f"Conv_{idx}",
                 )(x)
-                x = _BN(self.dtype, name=f"_BN_{idx}")(x, train)
+                x = _BN(self.dtype, groups=self.bn_groups,
+                        name=f"_BN_{idx}")(x, train)
             x = nn.leaky_relu(x, negative_slope=0.01)
             idx += 1
 

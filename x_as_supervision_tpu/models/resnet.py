@@ -38,18 +38,87 @@ RESNET_SPEC = {
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class _GroupedBN(nn.Module):
+    """BatchNorm whose TRAIN statistics are computed per leading-axis
+    group (the reference's per-camera SyncBN semantics when the camera
+    axis is folded into the batch camera-major; reference
+    modules/model.py:62-69 loops cameras, so each camera's forward sees
+    its own batch statistics). Parameter/variable names and shapes match
+    nn.BatchNorm exactly ('scale'/'bias' params, 'mean'/'var' batch
+    stats), so checkpoints are interchangeable with the pooled path;
+    running stats store the across-group mean."""
+
+    groups: int
+    dtype: Any = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        g = self.groups
+        assert x.shape[0] % g == 0, (
+            f"bn_groups={g} must divide the (camera-major) batch "
+            f"{x.shape[0]}"
+        )
+        xg = x.astype(jnp.float32).reshape((g, x.shape[0] // g) + x.shape[1:])
+        red = tuple(range(1, xg.ndim - 1))
+        mean = xg.mean(red)  # (g, c)
+        var = ((xg - mean.reshape(g, *([1] * (xg.ndim - 2)), c)) ** 2).mean(
+            red
+        )
+        bshape = (g,) + (1,) * (xg.ndim - 2) + (c,)
+        y = (xg - mean.reshape(bshape)) * jax.lax.rsqrt(
+            var.reshape(bshape) + self.epsilon
+        )
+        y = y * scale + bias
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value
+                + (1 - self.momentum) * mean.mean(axis=0)
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value
+                + (1 - self.momentum) * var.mean(axis=0)
+            )
+        return y.reshape(x.shape).astype(self.dtype)
+
+
 class _BN(nn.Module):
     """BatchNorm with fp32 statistics regardless of compute dtype.
 
     axis: the feature axis (-1 for NHWC, 2 for the physique net's NHCW
     (B, H, C, W) Pallas path); the (C,) parameter shapes are identical
-    either way, so checkpoints are layout-agnostic."""
+    either way, so checkpoints are layout-agnostic.
+
+    groups > 1 (train only, axis -1): statistics per leading-axis group —
+    the reference's per-camera BN semantics for camera-major folded
+    batches (see _GroupedBN). Inference always uses the running stats, so
+    eval is identical either way."""
 
     dtype: Any = jnp.float32
     axis: int = -1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if train and self.groups > 1 and not self.is_initializing():
+            assert self.axis in (-1, x.ndim - 1), (
+                "grouped BN stats only supported on the trailing feature "
+                "axis"
+            )
+            return _GroupedBN(
+                self.groups, dtype=self.dtype, name="BatchNorm_0"
+            )(x)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -57,6 +126,7 @@ class _BN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis=self.axis,
+            name="BatchNorm_0",
         )(x)
 
 
@@ -65,6 +135,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -72,19 +143,19 @@ class BasicBlock(nn.Module):
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
         )(x)
-        y = _BN(self.dtype)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             kernel_init=_KAIMING,
         )(y)
-        y = _BN(self.dtype)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
         if self.downsample:
             x = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
             )(x)
-            x = _BN(self.dtype)(x, train)
+            x = _BN(self.dtype, groups=self.bn_groups)(x, train)
         return nn.relu(x + y)
 
 
@@ -94,6 +165,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -101,26 +173,26 @@ class Bottleneck(nn.Module):
             self.planes, (1, 1), use_bias=False, dtype=self.dtype,
             kernel_init=_KAIMING,
         )(x)
-        y = _BN(self.dtype)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
         )(y)
-        y = _BN(self.dtype)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes * self.expansion, (1, 1), use_bias=False,
             dtype=self.dtype, kernel_init=_KAIMING,
         )(y)
-        y = _BN(self.dtype)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
         if self.downsample:
             x = nn.Conv(
                 self.planes * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
                 dtype=self.dtype, kernel_init=_KAIMING,
             )(x)
-            x = _BN(self.dtype)(x, train)
+            x = _BN(self.dtype, groups=self.bn_groups)(x, train)
         return nn.relu(x + y)
 
 
@@ -174,6 +246,8 @@ class ResNetBackbone(nn.Module):
 
     num_layers: int = 50
     dtype: Any = jnp.float32
+    # per-camera BN statistics groups (see _BN.groups); 1 = pooled.
+    bn_groups: int = 1
     # space-to-depth stem (see SpaceToDepthStem): exact + weight-compatible,
     # but measured NEUTRAL on the v5e bench chip (8.43 vs 8.74 ms standalone
     # stem fwd+bwd at CB=128; full step unchanged) — the stem block's time
@@ -193,7 +267,7 @@ class ResNetBackbone(nn.Module):
                 64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                 dtype=self.dtype, kernel_init=_KAIMING, name="Conv_0",
             )(x)
-        x = _BN(self.dtype)(x, train)
+        x = _BN(self.dtype, groups=self.bn_groups)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -206,7 +280,7 @@ class ResNetBackbone(nn.Module):
                 needs_down = stride != 1 or in_ch != planes * expansion
                 x = block(
                     planes, stride=stride, downsample=needs_down,
-                    dtype=self.dtype,
+                    dtype=self.dtype, bn_groups=self.bn_groups,
                 )(x, train)
         return x
 
@@ -270,6 +344,7 @@ class DeconvHead(nn.Module):
     kernel_size: int = 4
     final_conv_kernel: int = 1
     dtype: Any = jnp.float32
+    bn_groups: int = 1
     # fp32_logits: cast the head output to fp32 (reference semantics; the
     # 64^3-way softmax is precision-sensitive). False keeps the compute
     # dtype (bf16): exact softmax math is preserved by fp32 accumulation in
@@ -314,7 +389,7 @@ class DeconvHead(nn.Module):
                         kernel_init=_KAIMING,
                         name=f"ConvTranspose_{i}",
                     )(x)
-                x = _BN(self.dtype)(x, train)
+                x = _BN(self.dtype, groups=self.bn_groups)(x, train)
                 x = nn.relu(x)
             if stage == "features":
                 return x
@@ -338,6 +413,7 @@ class ResPoseNet(nn.Module):
     num_layers: int = 50
     dtype: Any = jnp.float32
     fp32_logits: bool = True
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
@@ -345,13 +421,15 @@ class ResPoseNet(nn.Module):
         (head projection only; `x` is then the feature map)."""
         head = DeconvHead(
             self.num_joints, self.depth_dim, dtype=self.dtype,
-            fp32_logits=self.fp32_logits, name="head",
+            fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
+            name="head",
         )
         if stage == "final":
             return head(x, train, stage="final")
-        x = ResNetBackbone(self.num_layers, dtype=self.dtype, name="backbone")(
-            x, train
-        )
+        x = ResNetBackbone(
+            self.num_layers, dtype=self.dtype, bn_groups=self.bn_groups,
+            name="backbone",
+        )(x, train)
         return head(x, train, stage="features" if stage == "features" else "all")
 
 

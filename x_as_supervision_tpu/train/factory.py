@@ -27,8 +27,20 @@ def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
     # checkpoint only the softmax-volume decode (keeps conv activations);
     # False = none.
     remat_cfg = mp.get("remat", True)
+    # per_camera_bn: compute BN train statistics per camera instead of
+    # pooled over the folded camera axis — the reference's exact semantics
+    # (it loops cameras; modules/model.py:62-69). Default stays pooled
+    # (the documented SyncBN generalization, models/composed.py docstring);
+    # the A/B is measured in PERF.md.
+    bn_groups = (
+        len(mp.get("cam_id_list", [0]))
+        if mp.get("per_camera_bn", False) else 1
+    )
+    det_params = dict(mp["detector_params"])
+    if bn_groups > 1:
+        det_params["bn_groups"] = bn_groups
     detector = build_detector(
-        mp["detector_params"], dtype=dtype,
+        det_params, dtype=dtype,
         remat_decode=(remat_cfg == "decode"),
     )
 
@@ -53,6 +65,7 @@ def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
             num_features=tuple(pp["layers"]),
             dtype=dtype,
             use_pallas=bool(pp.get("pallas", False)) and _pallas_ok(),
+            bn_groups=bn_groups,
         )
 
     return GanSpec.from_config(mp, detector, discriminator, physique)
