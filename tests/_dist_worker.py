@@ -1,6 +1,11 @@
-"""Worker for the 2-process jax.distributed CPU test.
+"""Worker for the multi-process jax.distributed CPU tests.
 
 Usage: python _dist_worker.py <coordinator> <num_procs> <proc_id> <out_json>
+           [scope]
+
+scope 'full' (default) runs everything; scope 'step' runs only the mesh
+bring-up + loader sharding + the fused DP x TP train step (used by the
+4-process test, where the full battery would be needlessly slow).
 
 Exercises, under a REAL 2-process jax.distributed runtime (not the
 8-virtual-device single-process mesh):
@@ -20,6 +25,7 @@ def main():
     coordinator, num_procs, proc_id, out_path = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    scope = sys.argv[5] if len(sys.argv) > 5 else "full"
 
     import jax
 
@@ -57,6 +63,10 @@ def main():
 
     # --- cross_host_mean ---
     from x_as_supervision_tpu.parallel.collectives import cross_host_mean
+
+    if scope != "full":
+        _run_step_scope(result, out_path)
+        return
 
     reduced = cross_host_mean(
         {"a": float(proc_id), "b": 2.0 * proc_id + 1.0}
@@ -173,6 +183,54 @@ def main():
     result["tp_step_loss"] = float(metrics["loss_total"])
     result["tp_step_disc"] = float(metrics["loss_disc"])
 
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def _run_step_scope(result, out_path):
+    """scope='step': the fused GAN step over the global (data, model=2)
+    mesh only (plus the loader fingerprints already collected)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_train_step import TINY_CONFIG
+
+    from x_as_supervision_tpu.data.synthetic import SyntheticPoseDataset
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.parallel.tp import shard_state
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state, make_optimizers, make_train_step,
+    )
+
+    cfg = {k: v for k, v in TINY_CONFIG.items()}
+    spec = build_gan_spec(cfg)
+    ds_step = SyntheticPoseDataset(
+        num_samples=4, cam_id_list=cfg["model_params"]["cam_id_list"],
+        patch_size=64, seed=5,
+    )
+    local, offset = M.process_local_batch_slice(4)
+    full = ds_step.device_batch(0, 4)
+    local_batch = {
+        k: np.asarray(v)[offset:offset + local] for k, v in full.items()
+    }
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), local_batch, opt_det, opt_disc
+    )
+    mesh = M.make_mesh(model_parallelism=2)
+    state = shard_state(state, mesh)
+    sharded = M.shard_batch(local_batch, mesh)
+    step = make_train_step(spec, opt_det, opt_disc)
+    state, metrics, _ = step(
+        state, sharded, jax.random.PRNGKey(9), do_disc=True, do_gen=True,
+        with_outputs=False,
+    )
+    result["tp_step_loss"] = float(metrics["loss_total"])
+    result["tp_step_disc"] = float(metrics["loss_disc"])
     with open(out_path, "w") as f:
         json.dump(result, f)
 

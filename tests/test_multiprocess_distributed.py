@@ -203,6 +203,92 @@ def test_mixed_dataset_epoch_composition_across_processes(worker_results):
     assert hm0 and (hm0 != hm1)
 
 
+@pytest.fixture(scope="module")
+def worker_results_4proc(tmp_path_factory):
+    """4 processes x 2 local CPU devices = (data=4, model=2) global mesh:
+    DP crosses all four processes with TP inside each — process-grid
+    arithmetic (device order, per-process batch offsets, global-array
+    assembly) that the 2-process run cannot exercise. scope='step' keeps
+    the battery to mesh bring-up + loader sharding + one fused step."""
+    tmp = tmp_path_factory.mktemp("dist4")
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("XLA_FLAGS", "JAX_"))}
+    for pid in range(4):
+        out = str(tmp / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_dist_worker.py"),
+             coordinator, "4", str(pid), out, "step"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    results = []
+    for p, out in zip(procs, outs):
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            pytest.fail("4-proc distributed worker timed out")
+        assert p.returncode == 0, err[-3000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    return sorted(results, key=lambda r: r["process_index"])
+
+
+@pytest.mark.slow
+def test_four_process_dp4_tp2_step(worker_results_4proc):
+    """All four processes agree on the fused-step losses, and they match a
+    single-process DP run of the identical global batch."""
+    losses = [r["tp_step_loss"] for r in worker_results_4proc]
+    discs = [r["tp_step_disc"] for r in worker_results_4proc]
+    np.testing.assert_allclose(losses, losses[0], rtol=1e-6)
+    np.testing.assert_allclose(discs, discs[0], rtol=1e-6)
+
+    # loader shards: 4 disjoint quarters covering the epoch
+    fps = [tuple(np.round(r["loader_fingerprints"], 5))
+           for r in worker_results_4proc]
+    assert all(len(f) == 2 for f in fps)
+    assert len(set(sum(fps, ()))) == 8
+
+    import jax
+
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state, make_optimizers, make_train_step,
+    )
+    from test_train_step import TINY_CONFIG
+
+    cfg = {k: v for k, v in TINY_CONFIG.items()}
+    spec = build_gan_spec(cfg)
+    ds = SyntheticPoseDataset(
+        num_samples=4, cam_id_list=cfg["model_params"]["cam_id_list"],
+        patch_size=64, seed=5,
+    )
+    batch = ds.device_batch(0, 4)
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    state = init_train_state(
+        spec, jax.random.PRNGKey(0), batch, opt_det, opt_disc
+    )
+    mesh = M.make_mesh(jax.devices()[:4])
+    state = M.replicate_state(state, mesh)
+    sharded = M.shard_batch(batch, mesh)
+    step = make_train_step(spec, opt_det, opt_disc)
+    _, metrics, _ = step(
+        state, sharded, jax.random.PRNGKey(9), do_disc=True, do_gen=True,
+        with_outputs=False,
+    )
+    np.testing.assert_allclose(
+        losses[0], float(metrics["loss_total"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        discs[0], float(metrics["loss_disc"]), rtol=2e-4
+    )
+
+
 def test_reduce_hosts_ambiguity_ratio_unequal_shards(worker_results):
     """5 batches over 2 processes (3 vs 2): the reduce_hosts ambiguity
     ratio must be identical on both processes and equal the global

@@ -17,6 +17,7 @@ weight-independent).
 
 from __future__ import annotations
 
+import json
 import time
 from argparse import ArgumentParser
 
@@ -95,6 +96,16 @@ def main() -> None:
             f"batch {bs:3d}: device fwd {dev*1e3:7.2f} ms "
             f"({bs/dev:8.1f} img/s) | end-to-end {e2e*1e3:8.2f} ms "
             f"({bs/e2e:8.1f} img/s)",
+            flush=True,
+        )
+        print(
+            json.dumps({
+                "batch": bs,
+                "device_ms": round(dev * 1e3, 3),
+                "img_s_device": round(bs / dev, 1),
+                "end_to_end_ms": round(e2e * 1e3, 3),
+                "img_s_e2e": round(bs / e2e, 1),
+            }),
             flush=True,
         )
 
