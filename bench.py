@@ -24,6 +24,9 @@ import numpy as np
 A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
 NORTH_STAR = 3.0 * A100_EST_IMG_S
 V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
+# Practical workload speed of light (PERF.md round-2 bound: conv-class
+# ceilings + measured bandwidth classes serialized => ~200 ms/step).
+PRACTICAL_SOL_IMG_S = 640.0
 
 GLOBAL_BATCH = 32
 WARMUP = 3
@@ -121,6 +124,7 @@ def main() -> None:
                 "value": round(img_s_chip, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s_chip / NORTH_STAR, 4),
+                "sol_fraction": round(img_s_chip / PRACTICAL_SOL_IMG_S, 4),
                 "step_time_ms": round(dt * 1e3, 2),
                 "global_batch": batch_size,
                 "cams": len(cams),

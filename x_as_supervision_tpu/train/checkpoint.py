@@ -54,7 +54,10 @@ def save_checkpoint(save_dir: str, epoch: int, state) -> str:
 
 def _restore_like(path: str, template):
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, jax.tree.map(lambda x: x, template))
+        # orbax requires absolute paths
+        return ckptr.restore(
+            os.path.abspath(path), jax.tree.map(lambda x: x, template)
+        )
 
 
 def restore_resume(path: str, state_template):
@@ -66,7 +69,7 @@ def _restore_raw(path: str) -> dict:
     """Template-free restore: nested dict of arrays keyed by TrainState
     field names (survives shape mismatches in fields we do not graft)."""
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path)
+        return ckptr.restore(os.path.abspath(path))  # orbax needs absolute
 
 
 def restore_finetune(path: str, state_template):
