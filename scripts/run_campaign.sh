@@ -17,8 +17,12 @@ if [[ "${1:-}" != "--skip-eval-s1" ]]; then
   cp "${S1_RUN}eval/eval_result.txt" log/campaign_eval_s1.txt
 fi
 
+# first attempt initializes from the S1 checkpoint (finetune mode);
+# crash retries resume campaign_s2's own newest checkpoint (train mode)
 python train.py --config config/Campaign_SurS2.yaml --finetune \
-  --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_s2 --worker 12
+  --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_s2 --worker 12 \
+  || scripts/train_resumable.sh config/Campaign_SurS2.yaml log/campaign_s2 \
+       --seed 0 --worker 12
 
 S2_RUN=$(ls -d log/campaign_s2/*/ | tail -1)
 S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt | sort | tail -1)
