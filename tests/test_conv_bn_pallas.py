@@ -108,3 +108,129 @@ def test_two_link_chain_matches_reference_bn_semantics():
     )
     np.testing.assert_allclose(np.asarray(y2), np.asarray(ref),
                                rtol=5e-4, atol=5e-3)
+
+
+def test_fused_link_gradients_match_xla_chain():
+    """fused_link (Pallas forward + hand-written XLA backward) must match
+    the XLA chain's value AND gradients wrt all four inputs, including
+    the stats cotangent path."""
+    x, wt, scale, shift = _case(2, 8, 8, 128, 128, seed=3)
+    from x_as_supervision_tpu.ops.conv_bn_pallas import fused_link
+
+    rng = np.random.default_rng(7)
+    cy = jnp.asarray(rng.normal(size=(2, 8, 8, 128)), jnp.float32)
+    cs = jnp.asarray(rng.normal(size=(2, 128)), jnp.float32)
+
+    def loss(fn, *args):
+        y, s = fn(*args)
+        return (y.astype(jnp.float32) * cy).sum() + (s * cs).sum()
+
+    got = jax.grad(lambda *a: loss(fused_link, *a), argnums=(0, 1, 2, 3))(
+        x, wt, scale, shift
+    )
+    want = jax.grad(
+        lambda *a: loss(xla_bn_relu_conv, *a), argnums=(0, 1, 2, 3)
+    )(x, wt, scale, shift)
+    for g1, g0, tol in zip(got, want, (1e-3, 1e-2, 1e-2, 1e-3)):
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=tol
+        )
+
+
+def test_bottleneck_fuse_bn_equivalent():
+    """Bottleneck(fuse_bn=True) == Bottleneck(fuse_bn=False): identical
+    variable tree, matching outputs, parameter/input gradients, and
+    batch-stats updates, in train and eval."""
+    import flax
+    from x_as_supervision_tpu.models.resnet import Bottleneck
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 1024)), jnp.float32)
+    base = Bottleneck(256, stride=1, downsample=False)
+    fused = Bottleneck(256, stride=1, downsample=False, fuse_bn=True)
+    variables = base.init(jax.random.PRNGKey(0), x, True)
+    vf = fused.init(jax.random.PRNGKey(0), x, True)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(vf)
+    )
+
+    for train in (True, False):
+        outs = {}
+        for name, mod in (("base", base), ("fused", fused)):
+            y, upd = mod.apply(
+                variables, x, train, mutable=["batch_stats"]
+            )
+            outs[name] = (y, upd)
+        np.testing.assert_allclose(
+            np.asarray(outs["base"][0]), np.asarray(outs["fused"][0]),
+            rtol=1e-4, atol=2e-4,
+        )
+        for (pa, a), (pb, bvals) in zip(
+            flax.traverse_util.flatten_dict(outs["base"][1]).items(),
+            flax.traverse_util.flatten_dict(outs["fused"][1]).items(),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bvals), rtol=1e-4, atol=1e-4,
+                err_msg=str(pa),
+            )
+
+    def loss(mod, params, xin):
+        y, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xin, True, mutable=["batch_stats"],
+        )
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    gb = jax.grad(lambda p, xi: loss(base, p, xi), argnums=(0, 1))(
+        variables["params"], x
+    )
+    gf = jax.grad(lambda p, xi: loss(fused, p, xi), argnums=(0, 1))(
+        variables["params"], x
+    )
+    for (pa, a), (pb, bvals) in zip(
+        flax.traverse_util.flatten_dict(gb[0]).items(),
+        flax.traverse_util.flatten_dict(gf[0]).items(),
+    ):
+        assert pa == pb
+        scale_ref = max(1.0, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bvals),
+            rtol=1e-4, atol=2e-4 * scale_ref, err_msg=str(pa),
+        )
+    np.testing.assert_allclose(
+        np.asarray(gb[1]), np.asarray(gf[1]), rtol=1e-4, atol=2e-3
+    )
+
+
+def test_fused_link_bf16_gradients_finite():
+    """bf16 inputs through fused_link's backward (the flagship compute
+    dtype): shapes/dtypes line up and gradients stay finite and close to
+    the fp32 chain's."""
+    from x_as_supervision_tpu.ops.conv_bn_pallas import fused_link
+
+    x, wt, scale, shift = _case(2, 8, 8, 128, 128, seed=5,
+                                dtype=jnp.bfloat16)
+
+    def loss(fn, *args):
+        y, s = fn(*args)
+        return (y.astype(jnp.float32) ** 2).sum() + (s**2).sum() * 1e-3
+
+    got = jax.grad(lambda *a: loss(fused_link, *a), argnums=(0, 1, 2, 3))(
+        x, wt, scale, shift
+    )
+    want = jax.grad(
+        lambda *a: loss(xla_bn_relu_conv, *a), argnums=(0, 1, 2, 3)
+    )(
+        x.astype(jnp.float32), wt.astype(jnp.float32), scale, shift
+    )
+    assert got[0].dtype == jnp.bfloat16 and got[1].dtype == jnp.bfloat16
+    for g1, g0 in zip(got, want):
+        g1 = np.asarray(g1, np.float32)
+        g0 = np.asarray(g0, np.float32)
+        assert np.all(np.isfinite(g1))
+        denom = max(1.0, float(np.abs(g0).max()))
+        # the backward's elementwise passes run in the compute dtype
+        # (bf16 here, like the unfused path's BN/ReLU backward), so the
+        # bound is bf16 rounding noise, not fp32 agreement
+        assert float(np.abs(g1 - g0).max()) / denom < 0.12

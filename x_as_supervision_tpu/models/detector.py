@@ -40,13 +40,14 @@ class KPDetector3D(nn.Module):
     fp32_logits: bool = True
     use_pallas: bool | None = None
     bn_groups: int = 1
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
-            name="net",
+            fuse_bn=self.fuse_bn, name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -76,6 +77,7 @@ class KPDetector3DMulti(nn.Module):
     fp32_logits: bool = True
     use_pallas: bool | None = None
     bn_groups: int = 1
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
@@ -88,7 +90,7 @@ class KPDetector3DMulti(nn.Module):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
-            name="net",
+            fuse_bn=self.fuse_bn, name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -125,6 +127,10 @@ def build_detector(detector_params: dict, dtype=jnp.float32,
         # non-TPU backend. None (= auto) passes through untouched.
         use_pallas=(detector_params.get("use_pallas") and pallas_ok())
         if detector_params.get("use_pallas") is not None else None,
+        # fused BN+ReLU+conv3x3 Pallas links in the bottleneck stages
+        # (models/resnet.py:Bottleneck.fuse_bn); same single-device-TPU
+        # gate as the decode kernels.
+        fuse_bn=bool(detector_params.get("fuse_bn", False)) and pallas_ok(),
     )
     if name == "resnet_multi":
         return KPDetector3DMulti(

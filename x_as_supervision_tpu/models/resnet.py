@@ -26,6 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import conv_bn_pallas
+
 # {depth: (block, layer counts, channels)} — channels are post-expansion.
 RESNET_SPEC = {
     18: ("basic", (2, 2, 2, 2), (64, 64, 128, 256, 512)),
@@ -93,6 +95,60 @@ class _GroupedBN(nn.Module):
         return y.reshape(x.shape).astype(self.dtype)
 
 
+class _StatsBN(nn.Module):
+    """BatchNorm core for the fused conv+BN Pallas path. Two modes:
+
+      'fold':  input x -> (scale, shift) s.t. BN(x)*gamma+beta ==
+               x*scale + shift, folding gamma/beta with x's batch
+               statistics (train) or the running statistics (eval).
+               The reduce over x is the only memory pass left; the
+               normalize+ReLU itself happens inside the fused kernel.
+      'apply': normalize x with EXTERNAL batch statistics
+               (sum, sumsq) / n — the fused kernel's stats output for
+               the conv it just produced — so no reduce over x runs.
+
+    Parameter / batch-stats names and shapes match nn.BatchNorm
+    ('scale'/'bias', 'mean'/'var'), so checkpoints are interchangeable
+    with the unfused path."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mode: str, train: bool, stats=None, n=None):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train and not self.is_initializing():
+            if mode == "fold":
+                xf = x.astype(jnp.float32)
+                red = tuple(range(x.ndim - 1))
+                mean = xf.mean(red)
+                var = ((xf - mean) ** 2).mean(red)
+            else:
+                mean = stats[0] / n
+                var = stats[1] / n - mean**2
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var
+            )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = gamma * jax.lax.rsqrt(var + self.epsilon)
+        shift = beta - mean * inv
+        if mode == "fold":
+            return inv, shift
+        return x.astype(jnp.float32) * inv + shift
+
+
 class _BN(nn.Module):
     """BatchNorm with fp32 statistics regardless of compute dtype.
 
@@ -103,14 +159,25 @@ class _BN(nn.Module):
     groups > 1 (train only, axis -1): statistics per leading-axis group —
     the reference's per-camera BN semantics for camera-major folded
     batches (see _GroupedBN). Inference always uses the running stats, so
-    eval is identical either way."""
+    eval is identical either way.
+
+    mode != 'self' dispatches to _StatsBN for the fused conv+BN Pallas
+    path ('fold' returns folded (scale, shift); 'apply' normalizes with
+    external stats); the variable tree is identical in every mode."""
 
     dtype: Any = jnp.float32
     axis: int = -1
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mode: str = "self", stats=None,
+                 n=None):
+        if mode != "self":
+            assert self.groups == 1 and self.axis == -1
+            out = _StatsBN(name="BatchNorm_0")(x, mode, train, stats, n)
+            if mode == "fold":
+                return out
+            return out.astype(self.dtype)
         if train and self.groups > 1 and not self.is_initializing():
             assert self.axis in (-1, x.ndim - 1), (
                 "grouped BN stats only supported on the trailing feature "
@@ -159,40 +226,83 @@ class BasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class _ConvKernel(nn.Module):
+    """Declares a conv 'kernel' parameter (same name/shape/init as
+    nn.Conv's) and returns it raw — the fused conv+BN path consumes the
+    weight inside a Pallas kernel instead of calling nn.Conv, but the
+    checkpoint tree must not change."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _KAIMING, self.shape, jnp.float32)
+
+
 class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with BN+ReLU between convs.
+
+    fuse_bn: route the BN -> ReLU -> conv3x3 -> next-BN-stats chain link
+    through the fused Pallas kernel (ops/conv_bn_pallas.py) on stride-1
+    blocks with planes >= 256 — the measured win region (PERF.md round 3:
+    1.16-1.20x over XLA at stages 3/4; XLA keeps the smaller stages).
+    Exact same math: _BN_0 folds its batch stats to (scale, shift), the
+    kernel applies normalize+ReLU while staging and emits the conv plus
+    its (sum, sumsq), which _BN_1 consumes instead of re-reducing.
+    Checkpoint tree is identical (explicit names pin the auto-naming)."""
+
     planes: int
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
     bn_groups: int = 1
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        fuse = (
+            self.fuse_bn and self.stride == 1 and self.bn_groups == 1
+            and self.planes >= 256
+        )
         y = nn.Conv(
             self.planes, (1, 1), use_bias=False, dtype=self.dtype,
-            kernel_init=_KAIMING,
+            kernel_init=_KAIMING, name="Conv_0",
         )(x)
-        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
-        y = nn.relu(y)
-        y = nn.Conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=1, use_bias=False, dtype=self.dtype, kernel_init=_KAIMING,
-        )(y)
-        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
+        bn0 = _BN(self.dtype, groups=self.bn_groups, name="_BN_0")
+        bn1 = _BN(self.dtype, groups=self.bn_groups, name="_BN_1")
+        if fuse:
+            w3 = _ConvKernel(
+                (3, 3, self.planes, self.planes), name="Conv_1"
+            )()
+            scale, shift = bn0(y, train, mode="fold")
+            y, stats = conv_bn_pallas.fused_link(
+                y, w3.astype(self.dtype), scale, shift
+            )
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            y = bn1(y, train, mode="apply", stats=stats, n=n)
+        else:
+            y = bn0(y, train)
+            y = nn.relu(y)
+            y = nn.Conv(
+                self.planes, (3, 3), strides=(self.stride, self.stride),
+                padding=1, use_bias=False, dtype=self.dtype,
+                kernel_init=_KAIMING, name="Conv_1",
+            )(y)
+            y = bn1(y, train)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes * self.expansion, (1, 1), use_bias=False,
-            dtype=self.dtype, kernel_init=_KAIMING,
+            dtype=self.dtype, kernel_init=_KAIMING, name="Conv_2",
         )(y)
-        y = _BN(self.dtype, groups=self.bn_groups)(y, train)
+        y = _BN(self.dtype, groups=self.bn_groups, name="_BN_2")(y, train)
         if self.downsample:
             x = nn.Conv(
                 self.planes * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
-                dtype=self.dtype, kernel_init=_KAIMING,
+                dtype=self.dtype, kernel_init=_KAIMING, name="Conv_3",
             )(x)
-            x = _BN(self.dtype, groups=self.bn_groups)(x, train)
+            x = _BN(self.dtype, groups=self.bn_groups, name="_BN_3")(x, train)
         return nn.relu(x + y)
 
 
@@ -248,6 +358,8 @@ class ResNetBackbone(nn.Module):
     dtype: Any = jnp.float32
     # per-camera BN statistics groups (see _BN.groups); 1 = pooled.
     bn_groups: int = 1
+    # fused BN+ReLU+conv3x3+stats Pallas links (see Bottleneck.fuse_bn).
+    fuse_bn: bool = False
     # space-to-depth stem (see SpaceToDepthStem): exact + weight-compatible,
     # but measured NEUTRAL on the v5e bench chip (8.43 vs 8.74 ms standalone
     # stem fwd+bwd at CB=128; full step unchanged) — the stem block's time
@@ -278,9 +390,13 @@ class ResNetBackbone(nn.Module):
                 expansion = 1 if block_kind == "basic" else 4
                 in_ch = x.shape[-1]
                 needs_down = stride != 1 or in_ch != planes * expansion
+                extra = (
+                    {"fuse_bn": True}
+                    if self.fuse_bn and block_kind == "bottleneck" else {}
+                )
                 x = block(
                     planes, stride=stride, downsample=needs_down,
-                    dtype=self.dtype, bn_groups=self.bn_groups,
+                    dtype=self.dtype, bn_groups=self.bn_groups, **extra,
                 )(x, train)
         return x
 
@@ -414,6 +530,7 @@ class ResPoseNet(nn.Module):
     dtype: Any = jnp.float32
     fp32_logits: bool = True
     bn_groups: int = 1
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
@@ -428,7 +545,7 @@ class ResPoseNet(nn.Module):
             return head(x, train, stage="final")
         x = ResNetBackbone(
             self.num_layers, dtype=self.dtype, bn_groups=self.bn_groups,
-            name="backbone",
+            fuse_bn=self.fuse_bn, name="backbone",
         )(x, train)
         return head(x, train, stage="features" if stage == "features" else "all")
 

@@ -133,6 +133,70 @@ def fused_bn_relu_conv(x, w, scale, shift, interpret: bool | None = None):
     return y, stats.sum(axis=0)
 
 
+@jax.custom_vjp
+def fused_link(x, w, scale, shift):
+    """Trainable fused chain link: the Pallas forward of
+    `fused_bn_relu_conv` with a hand-written XLA backward, so the kernel
+    can sit on the training path (the Pallas kernel itself has no VJP).
+
+    Backward math (given cotangents gy for y and gs (2, Cout) for stats):
+      g      = gy + gs[0] + 2*y*gs[1]          # stats are sum / sum-sq of y
+      a      = relu(x*scale + shift)           # recomputed (elementwise)
+      ga, gw = conv3x3-SAME VJP of (a, w) at g # XLA's native dgrad/wgrad
+      gpre   = ga * 1[x*scale+shift > 0]
+      gx     = gpre * scale
+      gscale = sum_pixels(gpre * x);  gshift = sum_pixels(gpre)
+    The conv VJP is taken through jax.vjp of the bilinear conv, whose
+    unused primal XLA dead-code-eliminates; y (the kernel's own output)
+    is kept as a residual so the stats cotangent needs no extra conv.
+    """
+    return fused_bn_relu_conv(x, w, scale, shift)
+
+
+def _fused_link_fwd(x, w, scale, shift):
+    y, stats = fused_bn_relu_conv(x, w, scale, shift)
+    return (y, stats), (x, w, scale, shift, y)
+
+
+def _fused_link_bwd(res, cots):
+    x, w, scale, shift, y = res
+    gy, gstats = cots
+    f32 = jnp.float32
+    cdt = x.dtype  # elementwise traffic stays in the compute dtype (the
+    # unfused path's BN/ReLU backward runs in it too); only the channel
+    # reduces accumulate fp32.
+    g = (
+        gy.astype(cdt)
+        + gstats[0].reshape(1, 1, 1, -1).astype(cdt)
+        + 2.0 * y * gstats[1].reshape(1, 1, 1, -1).astype(cdt)
+    )
+    sc = scale.reshape(1, 1, 1, -1).astype(cdt)
+    sh = shift.reshape(1, 1, 1, -1).astype(cdt)
+    pre = x * sc + sh
+    a = jnp.maximum(pre, jnp.zeros((), cdt))
+
+    # Uniform-dtype conv so its VJP (dgrad transpose-conv + wgrad conv)
+    # accepts the cotangent; TPU accumulates bf16 matmuls in fp32 anyway.
+    def conv(a_, w_):
+        return jax.lax.conv_general_dilated(
+            a_, w_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, conv_vjp = jax.vjp(conv, a, w.astype(cdt))
+    ga, gw = conv_vjp(g)
+    gw = gw.astype(w.dtype)
+    gpre = jnp.where(pre > 0, ga, jnp.zeros((), ga.dtype))
+    gx = gpre * sc
+    gpre32 = gpre.astype(f32)
+    gscale = (gpre32 * x.astype(f32)).sum(axis=(0, 1, 2)).astype(scale.dtype)
+    gshift = gpre32.sum(axis=(0, 1, 2)).astype(shift.dtype)
+    return gx, gw, gscale, gshift
+
+
+fused_link.defvjp(_fused_link_fwd, _fused_link_bwd)
+
+
 def xla_bn_relu_conv(x, w, scale, shift):
     """XLA reference for the same chain link (verification + benchmark
     baseline)."""
