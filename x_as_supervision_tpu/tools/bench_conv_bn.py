@@ -6,6 +6,10 @@ detector's stage-2/3/4 3x3 shapes (bench stream CB=128), bf16.
 
 Usage: python -m x_as_supervision_tpu.tools.bench_conv_bn
        [--batch 128] [--iters 20] [--platform cpu] [--shapes 32x128,16x256]
+       [--dtype bf16|f32] [--check_batches 2,8,16,128]
+
+--check_batches: exactness-only sweep (no timing) of the given batch
+sizes per shape — the PERF.md hardware-exactness table.
 """
 
 from __future__ import annotations
@@ -43,6 +47,9 @@ def main() -> None:
     p.add_argument("--shapes", default="32x128,16x256,8x512",
                    help="comma list of <spatial>x<channels>")
     p.add_argument("--platform", default=None)
+    p.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
+    p.add_argument("--check_batches", default=None,
+                   help="exactness-only sweep over these batch sizes")
     args = p.parse_args()
 
     import jax
@@ -57,14 +64,35 @@ def main() -> None:
 
     from ..ops.conv_bn_pallas import fused_bn_relu_conv, xla_bn_relu_conv
 
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
+
+    if args.check_batches:
+        for spec in args.shapes.split(","):
+            s, c = (int(v) for v in spec.split("x"))
+            for b in (int(v) for v in args.check_batches.split(",")):
+                x = jnp.asarray(rng.normal(size=(b, s, s, c)), dt)
+                w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, dt)
+                scale = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+                shift = jnp.asarray(rng.normal(size=c) * 0.1, jnp.float32)
+                yf, sf = fused_bn_relu_conv(x, w, scale, shift)
+                yx, sx = xla_bn_relu_conv(x, w, scale, shift)
+                print(json.dumps({
+                    "shape": f"{b}x{s}x{s}x{c}", "dtype": args.dtype,
+                    "y_max_abs_err": float(jnp.abs(
+                        yf.astype(jnp.float32) - yx.astype(jnp.float32)
+                    ).max()),
+                    "stats_max_abs_err": float(jnp.abs(sf - sx).max()),
+                }), flush=True)
+        return
+
     rows = []
     for spec in args.shapes.split(","):
         s, c = (int(v) for v in spec.split("x"))
         x = jnp.asarray(
-            rng.normal(size=(args.batch, s, s, c)), jnp.bfloat16
+            rng.normal(size=(args.batch, s, s, c)), dt
         )
-        w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, dt)
         scale = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
         shift = jnp.asarray(rng.normal(size=c) * 0.1, jnp.float32)
 
