@@ -234,3 +234,17 @@ def test_fused_link_bf16_gradients_finite():
         # (bf16 here, like the unfused path's BN/ReLU backward), so the
         # bound is bf16 rounding noise, not fp32 agreement
         assert float(np.abs(g1 - g0).max()) / denom < 0.12
+
+
+def test_factory_gates_fuse_bn_off_mesh():
+    """detector_params.fuse_bn must not survive build_detector on a
+    non-TPU / multi-device backend (same gate as the decode kernels):
+    the pallas_call has no GSPMD partitioning rule."""
+    from x_as_supervision_tpu.models.detector import build_detector
+
+    det = build_detector(
+        {"name": "resnet_multi", "num_kp": 4, "depth_dim": 8,
+         "num_hypo": 2, "neighbor_size": 3, "num_layers": 50,
+         "fuse_bn": True}
+    )
+    assert det.fuse_bn is False  # CPU test backend -> gated off
