@@ -7,7 +7,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-S1_RUN=$(ls -d log/campaign_s1/*/ | head -1)
+S1_RUN=$(ls -dt log/campaign_s1/*/ | head -1)
 S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt | sort | tail -1)
 echo "S1 run: ${S1_RUN} ckpt: ${S1_CKPT}"
 
@@ -24,7 +24,7 @@ python train.py --config config/Campaign_SurS2.yaml --finetune \
   || scripts/train_resumable.sh config/Campaign_SurS2.yaml log/campaign_s2 \
        --seed 0 --worker 12
 
-S2_RUN=$(ls -d log/campaign_s2/*/ | tail -1)
+S2_RUN=$(ls -dt log/campaign_s2/*/ | head -1)
 S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt | sort | tail -1)
 python eval.py --config config/Campaign_SurS2.yaml \
   --checkpoint "${S2_CKPT}" --multi_hypo best

@@ -39,22 +39,28 @@ def test_grouped_bn_equals_per_group_pooled_bn():
 
     y_grouped, stats_grouped = run(grouped, x)
     y0, stats0 = run(pooled, x[:3])
-    y1, stats1 = run(pooled, x[3:])
+    y1, _ = run(pooled, x[3:])
 
     np.testing.assert_allclose(
         np.asarray(y_grouped), np.concatenate([y0, y1]), rtol=2e-5,
         atol=1e-5,
     )
-    # running stats: grouped stores the across-group mean of the updates
-    for key in ("mean", "var"):
-        a = jax.tree.leaves(stats_grouped)[
-            0 if key == "mean" else 1
-        ]
-        e0 = jax.tree.leaves(stats0)[0 if key == "mean" else 1]
-        e1 = jax.tree.leaves(stats1)[0 if key == "mean" else 1]
+    # running stats: the reference runs one forward per camera through one
+    # BN module, so the EMA receives g SEQUENTIAL updates in camera order
+    # (reference: modules/model.py:62-69). Expected = pooled module applied
+    # to each group in turn, threading the running stats through.
+    seq_vars = variables
+    for lo, hi in ((0, 3), (3, 6)):
+        _, new_vars = pooled.apply(
+            seq_vars, x[lo:hi], train=True, mutable=["batch_stats"]
+        )
+        seq_vars = {**seq_vars, "batch_stats": new_vars["batch_stats"]}
+    for got, want in zip(
+        jax.tree.leaves(stats_grouped),
+        jax.tree.leaves(seq_vars["batch_stats"]),
+    ):
         np.testing.assert_allclose(
-            np.asarray(a), (np.asarray(e0) + np.asarray(e1)) / 2,
-            rtol=1e-5, atol=1e-6, err_msg=key,
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
         )
 
 

@@ -149,6 +149,11 @@ SUBSET_POLICIES = {
     # production Human3.6M splits only).
     "campaign_train": (-1, 1, 0, 12, [0]),
     "campaign_valid": (-1, 1, 0, 6, [5]),
+    # scaled round-4 campaign splits: all 30 folders of one subject
+    # (15 actions x 2 subacts), so every per-action eval bucket is
+    # populated (eval_utils per-action tables).
+    "campaign_train_xl": (-1, 1, 0, 30, [0]),
+    "campaign_valid_xl": (-1, 1, 0, 30, [5]),
 }
 
 # Actions dropped by the train_selected policy (reference: hm36.py:343-346).

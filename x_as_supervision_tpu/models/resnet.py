@@ -84,14 +84,22 @@ class _GroupedBN(nn.Module):
         )
         y = y * scale + bias
         if not self.is_initializing():
-            ra_mean.value = (
-                self.momentum * ra_mean.value
-                + (1 - self.momentum) * mean.mean(axis=0)
-            )
-            ra_var.value = (
-                self.momentum * ra_var.value
-                + (1 - self.momentum) * var.mean(axis=0)
-            )
+            # The reference runs one forward per camera, so its running
+            # stats receive g SEQUENTIAL momentum updates per step
+            # (effective decay momentum**g), not one update with the
+            # across-camera mean (reference: modules/model.py:62-69 +
+            # torch BN momentum semantics). Unrolled fold over the group
+            # stats in camera order — exact reference time constant.
+            new_mean, new_var = ra_mean.value, ra_var.value
+            for i in range(g):
+                new_mean = (
+                    self.momentum * new_mean + (1 - self.momentum) * mean[i]
+                )
+                new_var = (
+                    self.momentum * new_var + (1 - self.momentum) * var[i]
+                )
+            ra_mean.value = new_mean
+            ra_var.value = new_var
         return y.reshape(x.shape).astype(self.dtype)
 
 
@@ -133,7 +141,9 @@ class _StatsBN(nn.Module):
                 var = ((xf - mean) ** 2).mean(red)
             else:
                 mean = stats[0] / n
-                var = stats[1] / n - mean**2
+                # clamp: one-pass variance can cancel slightly negative on
+                # a near-constant channel, and rsqrt would NaN
+                var = jnp.maximum(stats[1] / n - mean**2, 0.0)
             ra_mean.value = (
                 self.momentum * ra_mean.value + (1 - self.momentum) * mean
             )

@@ -220,6 +220,9 @@ def make_stats_fold(stats, gamma, beta, n: int, eps: float = 1e-5):
     """Turn a link's (sum, sumsq) output into the next link's
     (scale, shift): BN(x) * gamma + beta == x * scale + shift."""
     mean = stats[0] / n
-    var = stats[1] / n - mean**2
+    # one-pass sumsq/n - mean^2 can go (tiny) negative on a near-constant
+    # channel via cancellation; rsqrt(var + eps) would NaN where the
+    # two-pass unfused path cannot
+    var = jnp.maximum(stats[1] / n - mean**2, 0.0)
     inv = gamma * jax.lax.rsqrt(var + eps)
     return inv, beta - mean * inv

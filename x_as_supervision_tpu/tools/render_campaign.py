@@ -316,7 +316,17 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_pseudo", action="store_true")
     p.add_argument("--skip_real", action="store_true")
+    p.add_argument("--train_set", default="campaign_train")
+    p.add_argument("--valid_set", default="campaign_valid")
+    p.add_argument("--platform", default=None,
+                   help="jax platform (use 'cpu': rendering never needs "
+                        "the TPU, and remote-compile latency dominates)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     model, h36m_reg, radii = make_humanoid_smpl()
     smpl_root = os.path.join(args.out, "smpl_models")
@@ -348,9 +358,9 @@ def main() -> None:
               f"{len(infos)} segments")
 
     if not args.skip_real:
-        render_hm36(args.out, model, h36m_reg, radii, "campaign_train",
+        render_hm36(args.out, model, h36m_reg, radii, args.train_set,
                     args.train_frames, args.img_size, seed=args.seed)
-        render_hm36(args.out, model, h36m_reg, radii, "campaign_valid",
+        render_hm36(args.out, model, h36m_reg, radii, args.valid_set,
                     args.valid_frames, args.img_size, seed=args.seed + 1)
 
 

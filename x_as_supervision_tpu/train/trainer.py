@@ -271,7 +271,13 @@ class Trainer:
                         self.tb_parent_ids,
                         metrics.get("loss_total"), loss_kp,
                         metrics.get("loss_disc"), outputs, batch, self.config,
-                        detector_lr=float(self._lr_schedule(cur_step)),
+                        # the schedule is built in optimizer-update-count
+                        # units (every=gen_interval); index it with the
+                        # update count, not the global step, so the logged
+                        # LR doesn't drop gen_interval× too early
+                        detector_lr=float(
+                            self._lr_schedule(cur_step // self.gen_interval)
+                        ),
                     )
 
             self.state = self.state.replace(
