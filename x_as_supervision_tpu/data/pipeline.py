@@ -250,7 +250,11 @@ class PatchDataset(BatchAssembly):
                 pseudo_mask = cv2.imread(
                     mask_path, cv2.IMREAD_GRAYSCALE | cv2.IMREAD_IGNORE_ORIENTATION
                 )
-                pseudo_img = pseudo_img * pseudo_mask[..., None]
+                # binarize: reference-format masks store 0/1 (reference
+                # surreal_utils.py:131-136), where this is the identity; a
+                # 0/255 mask would wrap the uint8 product
+                # (reference dataloader.py:215 multiplies raw values).
+                pseudo_img = pseudo_img * (pseudo_mask[..., None] != 0)
             pseudo_img = pseudo_img[..., ::-1].astype(np.float32)
             if self.mean is not None and self.std is not None:
                 pseudo_img = (

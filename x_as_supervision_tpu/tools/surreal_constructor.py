@@ -267,9 +267,14 @@ class SurrealConstructor:
                 os.path.join(self.out, "image", f"image_{out_idx:06d}.png"),
                 rgb,
             )
+            # 0/1-valued mask PNG, matching the reference constructor's
+            # convention (reference surreal_utils.py:131-136 writes 0/1;
+            # the dataloader multiplies the raw uint8 values into the
+            # image, reference dataloader.py:213-215, so 0/255 here would
+            # wrap the uint8 product and invert the foreground).
             cv2.imwrite(
                 os.path.join(self.out, "mask", f"mask_{out_idx:06d}.png"),
-                mask * 255,
+                mask,
             )
             joints3d[:, 0] = joints3d[:, 0] / self.target * 2 - 1
             joints3d[:, 1] = joints3d[:, 1] / self.target * 2 - 1
