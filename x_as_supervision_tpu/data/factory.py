@@ -64,6 +64,24 @@ def basic_data(config: dict, eval_only: bool = False, seed: int = 0):
     name = dataset_param["dataset"]["name"]
     convert_to_17kps = name == "mpi_inf_3dhp"
 
+    # uint8_feed: ship uint8 image/mask tensors and normalize on device
+    # (4x less host->device bandwidth; exact with color aug off — see
+    # data/pipeline.py). Geodesic maps are skipped when no configured loss
+    # can observe them (use_dis_map with weight != 0) — the FMM solve is
+    # the host pipeline's most expensive transform and eval never reads it.
+    uint8_feed = bool(dataset_param.get("uint8_feed", False))
+    lc = config.get("model_params", {}).get("loss_config", {})
+    need_geodesic = any(
+        lc.get(k, {}).get("use_dis_map")
+        and lc.get(k, {}).get("weight", 0) != 0
+        for k in ("recons_loss", "physique_recons_loss")
+    )
+    compute_geodesic = bool(
+        dataset_param.get(
+            "compute_geodesic", need_geodesic and not eval_only
+        )
+    )
+
     common = dict(
         patch_width=train_param["patch_width"],
         patch_height=train_param["patch_height"],
@@ -79,6 +97,8 @@ def basic_data(config: dict, eval_only: bool = False, seed: int = 0):
         geodesic_param_list=geodesic_param_list,
         rm_bg=rm_bg,
         seed=seed,
+        uint8_feed=uint8_feed,
+        compute_geodesic=compute_geodesic,
     )
 
     if not eval_only:

@@ -49,10 +49,17 @@ def mask_path_for(image_path: str) -> str | None:
 def generate_patch_sample_data(
     smp, patch_width, patch_height, rect_3d_width, rect_3d_height, mean, std,
     do_augment, aug_config, rng: np.random.Generator,
+    as_uint8: bool = False,
 ):
     """Load image + SAM mask, draw augmentation, affine-crop both, normalize,
     and transform joints into patch coords (HWC RGB output).
-    Reference: dataloader.py:17-91."""
+    Reference: dataloader.py:17-91.
+
+    as_uint8: keep image and mask in uint8 (pre-normalization, pre-/255) so
+    the host->device transfer is 4x smaller; normalization happens on device
+    (models/composed.py:preprocess_batch). EXACT when color augmentation is
+    off: cv2.warpAffine on uint8 inputs returns uint8, so the float cast the
+    normal path performs is lossless either way."""
     if rect_3d_width <= 0 or rect_3d_height <= 0:
         rect_3d_width, rect_3d_height = smp.width, smp.height
 
@@ -82,8 +89,8 @@ def generate_patch_sample_data(
         cvimg, smp.center_x, smp.center_y, smp.width, smp.height,
         patch_width, patch_height, do_flip, scale, rot,
     )
-    # BGR -> RGB, HWC float32 (NHWC-native; reference emits CHW).
-    img_patch = img_patch[..., ::-1].astype(np.float32)
+    # BGR -> RGB, HWC (NHWC-native; reference emits CHW).
+    img_patch = img_patch[..., ::-1]
 
     mask_src = cvmask if not do_flip else cvmask[:, ::-1]
     mask_patch = AF.warp_patch(
@@ -92,14 +99,23 @@ def generate_patch_sample_data(
     if "mpi_inf_3dhp" in smp.image:
         mask_patch = cv2.GaussianBlur(mask_patch, (5, 5), 0)
         mask_patch = cv2.threshold(mask_patch, 127, 255, cv2.THRESH_BINARY)[1]
-    mask_patch = mask_patch[..., None].astype(np.float32)  # (H, W, 1)
+    mask_patch = mask_patch[..., None]  # (H, W, 1)
 
-    color = np.asarray(color_scale, dtype=np.float32)
-    img_patch = np.clip(img_patch * color, 0, 255)
-    if mean is not None and std is not None:
-        img_patch = (img_patch - np.asarray(mean, np.float32)) / np.asarray(
-            std, np.float32
+    if as_uint8:
+        assert list(color_scale) == [1.0, 1.0, 1.0], (
+            "uint8_feed requires color augmentation off (color_factor 0)"
         )
+        img_patch = np.ascontiguousarray(img_patch)
+        mask_patch = np.ascontiguousarray(mask_patch)
+    else:
+        img_patch = img_patch.astype(np.float32)
+        mask_patch = mask_patch.astype(np.float32)
+        color = np.asarray(color_scale, dtype=np.float32)
+        img_patch = np.clip(img_patch * color, 0, 255)
+        if mean is not None and std is not None:
+            img_patch = (img_patch - np.asarray(mean, np.float32)) / np.asarray(
+                std, np.float32
+            )
 
     if do_flip:
         joints, joints_vis = AF.fliplr_joints(
@@ -125,7 +141,8 @@ class PatchDataset(BatchAssembly):
                  rect_3d_width, rect_3d_height, batch_size, mean, std,
                  aug_config, label_func, cam_id_list, geodesic_pt_list,
                  geodesic_param_list, smpl_pseudo_img, rm_bg,
-                 convert_to_17kps=False, seed: int = 0):
+                 convert_to_17kps=False, seed: int = 0,
+                 uint8_feed: bool = False, compute_geodesic: bool = True):
         self.db = database[0].gt_db()
         if convert_to_17kps:
             from_mpi_inf_3dhp_to_hm36(self.db)
@@ -145,6 +162,14 @@ class PatchDataset(BatchAssembly):
         self.geodesic_param_list = geodesic_param_list
         self.rm_bg = rm_bg
         self.seed = seed
+        # uint8_feed: emit uint8 image/mask/pseudo tensors and defer
+        # normalization + rm_bg to the device (4x smaller host->device
+        # transfer; exact when color aug is off — see
+        # generate_patch_sample_data). compute_geodesic=False skips the
+        # FMM geodesic maps entirely (exact whenever no dis-map-weighted
+        # loss is active; data/factory.py derives this from loss_config).
+        self.uint8_feed = uint8_feed
+        self.compute_geodesic = compute_geodesic
 
         # pad db to a batch multiple (reference dataloader.py:127-131)
         extra = len(self.db) % batch_size
@@ -177,9 +202,11 @@ class PatchDataset(BatchAssembly):
         img_patch, mask_patch, joints, trans = generate_patch_sample_data(
             smp, self.patch_width, self.patch_height, self.rect_3d_width,
             self.rect_3d_height, self.mean, self.std, self.do_augment,
-            self.aug_config, rng,
+            self.aug_config, rng, as_uint8=self.uint8_feed,
         )
-        out[f"{cam_key}_img"] = img_patch.astype(np.float32)
+        out[f"{cam_key}_img"] = (
+            img_patch if self.uint8_feed else img_patch.astype(np.float32)
+        )
         out[f"{cam_key}_joints"] = joints.astype(np.float32)
         out[f"{cam_key}_img_path"] = smp["image"]
 
@@ -194,12 +221,22 @@ class PatchDataset(BatchAssembly):
             smp["trans_world"], np.float32
         )
         out[f"{cam_key}_trans_image"] = trans.astype(np.float32)
-        out[f"{cam_key}_mask"] = mask_patch / 255.0
-        if self.rm_bg:
-            out[f"{cam_key}_img"] = out[f"{cam_key}_img"] * out[f"{cam_key}_mask"]
+        if self.uint8_feed:
+            # raw 0..255 mask; /255, normalization and rm_bg happen on
+            # device (models/composed.py:preprocess_batch)
+            out[f"{cam_key}_mask"] = mask_patch
+        else:
+            out[f"{cam_key}_mask"] = mask_patch / 255.0
+            if self.rm_bg:
+                out[f"{cam_key}_img"] = (
+                    out[f"{cam_key}_img"] * out[f"{cam_key}_mask"]
+                )
 
+        if not self.compute_geodesic:
+            return
         # geodesic maps run in (1, H, W) like the reference then move to HWC
-        mask_chw = np.transpose(out[f"{cam_key}_mask"], (2, 0, 1))
+        mask01 = mask_patch.astype(np.float32) / 255.0
+        mask_chw = np.transpose(mask01, (2, 0, 1))
         centers = (
             out[f"{cam_key}_joints"][self.geodesic_pt_list]
             if len(self.geodesic_pt_list) else None
@@ -255,12 +292,18 @@ class PatchDataset(BatchAssembly):
                 # 0/255 mask would wrap the uint8 product
                 # (reference dataloader.py:215 multiplies raw values).
                 pseudo_img = pseudo_img * (pseudo_mask[..., None] != 0)
-            pseudo_img = pseudo_img[..., ::-1].astype(np.float32)
-            if self.mean is not None and self.std is not None:
-                pseudo_img = (
-                    pseudo_img - np.asarray(self.mean, np.float32)
-                ) / np.asarray(self.std, np.float32)
-            out[f"{cam_key}_pseudo_img"] = pseudo_img
+            pseudo_img = pseudo_img[..., ::-1]
+            if self.uint8_feed:
+                out[f"{cam_key}_pseudo_img"] = np.ascontiguousarray(
+                    pseudo_img
+                )
+            else:
+                pseudo_img = pseudo_img.astype(np.float32)
+                if self.mean is not None and self.std is not None:
+                    pseudo_img = (
+                        pseudo_img - np.asarray(self.mean, np.float32)
+                    ) / np.asarray(self.std, np.float32)
+                out[f"{cam_key}_pseudo_img"] = pseudo_img
 
             pseudo_joints = np.load(joint_path).astype(np.float32)
             if self.smpl_pseudo_img_type == "ori_surreal":

@@ -78,6 +78,13 @@ class GanSpec:
     # Accepted for config compatibility; the reference reads this flag but
     # never acts on it (reference modules/model.py:40, SURVEY §5.6).
     use_learned_width: bool = False
+    # Device-side feed normalization (dataset_params.uint8_feed): the host
+    # ships uint8 images/masks (4x less host->device bandwidth) and
+    # preprocess_batch applies (img - mean)/std, mask/255 and rm_bg inside
+    # the jitted step. None = the host already normalized (default path).
+    feed_mean: tuple | None = None
+    feed_std: tuple | None = None
+    feed_rm_bg: bool = False
 
     @staticmethod
     def from_config(model_params, detector, discriminator, physique):
@@ -113,6 +120,43 @@ def _remat_mode(cfg) -> str:
     if cfg in ("none", "full", "decode", "head_decode", "pseudo"):
         return cfg
     raise ValueError(f"unknown remat mode {cfg!r}")
+
+
+def preprocess_batch(batch: dict, spec: GanSpec) -> dict:
+    """Device-side feed normalization for uint8-shipped tensors (traced
+    inside the jitted step; see GanSpec.feed_* and data/pipeline.py
+    uint8_feed). float32 entries pass through untouched, so mixed/legacy
+    feeds keep working. Order matches the host pipeline exactly:
+    (img - mean)/std, mask/255, then rm_bg's img *= mask
+    (reference: dataloader.py:70-75,184-187)."""
+    mean = (
+        jnp.asarray(spec.feed_mean, jnp.float32)
+        if spec.feed_mean is not None else None
+    )
+    std = (
+        jnp.asarray(spec.feed_std, jnp.float32)
+        if spec.feed_std is not None else None
+    )
+    out = dict(batch)
+    was_u8 = set()
+    for k, v in batch.items():
+        if not hasattr(v, "dtype") or v.dtype != jnp.uint8:
+            continue
+        if k.endswith("_img") or k.endswith("_pseudo_img"):
+            x = v.astype(jnp.float32)
+            if mean is not None and std is not None:
+                x = (x - mean) / std
+            out[k] = x
+            if k.endswith("_img") and not k.endswith("_pseudo_img"):
+                was_u8.add(k)
+        elif k.endswith("_mask"):
+            out[k] = v.astype(jnp.float32) / 255.0
+    if spec.feed_rm_bg:
+        for k in was_u8:
+            mk = k[: -len("_img")] + "_mask"
+            if mk in out:
+                out[k] = out[k] * out[mk]
+    return out
 
 
 def _active_cams(spec: GanSpec, batch: dict):
@@ -377,7 +421,14 @@ def generator_forward(
         )
 
     if "physique_recons_loss" in loss_cfg and spec.physique is not None:
-        use_dis = loss_cfg["physique_recons_loss"]["use_dis_map"]
+        # weight == 0 makes the dis-map weighting unobservable (the loss is
+        # multiplied by 0 either way), so the geodesic maps need not exist
+        # in the batch — lets the pipeline skip the FMM solve + transfer
+        # for configs like S1 that carry the key at weight 0.
+        use_dis = (
+            loss_cfg["physique_recons_loss"]["use_dis_map"]
+            and loss_cfg["physique_recons_loss"].get("weight", 0) != 0
+        )
         # one physique forward over all cameras
         if train:
             phy_all, mutated = spec.physique.apply(
@@ -401,7 +452,10 @@ def generator_forward(
         )
 
     if "recons_loss" in loss_cfg:
-        use_dis = loss_cfg["recons_loss"]["use_dis_map"]
+        use_dis = (
+            loss_cfg["recons_loss"]["use_dis_map"]
+            and loss_cfg["recons_loss"].get("weight", 0) != 0
+        )  # weight-0 gating: see physique_recons above
         gt_masks = _stack_cam_images(batch, cams, "mask")
         weight = (
             _stack_cam_images(batch, cams, "geodesic_dis") if use_dis else None

@@ -70,6 +70,25 @@ class Evaluator:
             if "dataset" in config.get("dataset_params", {})
             else True
         )
+        # dataset_params.eval_protocol: 'mpi' forces the MPI-style report
+        # (PCK@0.15m + AUC, no per-action tables) on any dataset — e.g. a
+        # campaign_valid variant; 'hm36' forces per-action tables.
+        proto = config.get("dataset_params", {}).get("eval_protocol")
+        if proto is not None:
+            self.cal_per_act = proto != "mpi"
+        # device-side normalization for uint8-shipped eval batches
+        # (dataset_params.uint8_feed; see models/composed.preprocess_batch)
+        import types
+
+        di = config.get("dataset_params", {}).get("dataiter", {})
+        self._feed_spec = types.SimpleNamespace(
+            feed_mean=tuple(di["mean"]) if di.get("mean") is not None
+            else None,
+            feed_std=tuple(di["std"]) if di.get("std") is not None else None,
+            feed_rm_bg=bool(
+                config.get("dataset_params", {}).get("rm_bg", False)
+            ),
+        )
         self.batch_size = batch_size or config["train_params"]["batch_size"]
         self.num_batches = max(1, len(dataset) // self.batch_size)
         # Shard eval batches across processes like the reference's
@@ -93,6 +112,9 @@ class Evaluator:
     def _step(self, det_vars, batch, mode: str):
         """Per-batch device computation. Returns per-camera selected preds,
         2D errors inputs, world lifts, triangulation, swap masks."""
+        from ..models.composed import preprocess_batch
+
+        batch = preprocess_batch(batch, self._feed_spec)
         kp_pred = {}
         kp_pred_2d = {}
         trans_masks = {}
@@ -261,6 +283,9 @@ class Evaluator:
         (reference: eval.py:152-158,178-199)."""
         mean = self.config["dataset_params"].get("dataiter", {}).get("mean")
         std = self.config["dataset_params"].get("dataiter", {}).get("std")
+        if np.asarray(batch[f"cam_{self.cam_id_list[0]}_img"]).dtype == \
+                np.uint8:
+            mean, std = None, None  # uint8 feed is already display-ready
         gt_world = np.asarray(out["kps_world_gt"])
         tb_log.add_image(
             "testing_pose_3D/gt",

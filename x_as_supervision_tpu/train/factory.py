@@ -68,7 +68,25 @@ def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
             bn_groups=bn_groups,
         )
 
-    return GanSpec.from_config(mp, detector, discriminator, physique)
+    spec = GanSpec.from_config(mp, detector, discriminator, physique)
+
+    # Device-side feed normalization for uint8-shipped batches
+    # (dataset_params.uint8_feed; data/pipeline.py + composed.py
+    # preprocess_batch). Wired whenever dataiter stats exist — float32
+    # batches pass through preprocess_batch untouched, so this is safe for
+    # the host-normalized default path too.
+    dp = config.get("dataset_params", {})
+    di = dp.get("dataiter", {})
+    if di.get("mean") is not None and di.get("std") is not None:
+        import dataclasses
+
+        spec = dataclasses.replace(
+            spec,
+            feed_mean=tuple(float(v) for v in di["mean"]),
+            feed_std=tuple(float(v) for v in di["std"]),
+            feed_rm_bg=bool(dp.get("rm_bg", False)),
+        )
+    return spec
 
 
 def load_smpl_assets(config: dict):

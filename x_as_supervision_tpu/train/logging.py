@@ -67,13 +67,21 @@ def tb_vis(
     mean = dp.get("dataiter", {}).get("mean")
     std = dp.get("dataiter", {}).get("std")
 
+    def _ms(arr):
+        # uint8-fed batches are raw 0..255 (normalization happens on
+        # device) — skip the un-normalize for display
+        if np.asarray(arr).dtype == np.uint8:
+            return None, None
+        return mean, std
+
     for key in x.keys():
         if "pseudo" in key:
             continue
         val = x[key]
         if key.endswith("img"):
+            m, s = _ms(val)
             tb_log.add_image(
-                f"training_img/{key}", vis.img_vis(val[0], mean, std), cur_step
+                f"training_img/{key}", vis.img_vis(val[0], m, s), cur_step
             )
         elif key.endswith("mask"):
             tb_log.add_image(
@@ -84,11 +92,12 @@ def tb_vis(
             img = x.get(f"{cam_key}_img")
             if img is None:
                 continue
+            m, s = _ms(img)
             tb_log.add_image(
                 f"training_pose_2d/{cam_key}_gt_pose",
                 vis.pose_vis(
                     np.asarray(val[0])[:, :2], img.shape[1:3], tb_pair_ids,
-                    tb_parent_ids, img=np.asarray(img[0]), mean=mean, std=std,
+                    tb_parent_ids, img=np.asarray(img[0]), mean=m, std=s,
                     is_gt=True,
                 ),
                 cur_step,
@@ -118,11 +127,12 @@ def tb_vis(
             img = x.get(f"{mode}_img")
             if img is None:
                 continue
+            m, s = _ms(img)
             tb_log.add_image(
                 f"{page}/{key}",
                 vis.pose_vis(
                     val[0][:, :2], img.shape[1:3], tb_pair_ids, tb_parent_ids,
-                    img=np.asarray(img[0]), mean=mean, std=std,
+                    img=np.asarray(img[0]), mean=m, std=s,
                 ),
                 cur_step,
             )

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.composed import GanSpec, discriminator_forward, generator_forward
+from ..models.composed import (
+    GanSpec,
+    discriminator_forward,
+    generator_forward,
+    preprocess_batch,
+)
 
 
 @flax.struct.dataclass
@@ -110,6 +115,7 @@ def init_train_state(
 ) -> TrainState:
     """Initialize all module variables + optimizer states from one batch."""
     k_det, k_phys, k_disc = jax.random.split(rng, 3)
+    sample_batch = preprocess_batch(sample_batch, spec)  # uint8 feeds
     cam0 = "cam_mono" if "cam_mono_img" in sample_batch else (
         f"cam_{spec.cam_id_list[0]}"
     )
@@ -355,6 +361,10 @@ def make_train_step(spec: GanSpec, opt_det, opt_disc) -> Callable:
         metrics: dict[str, Any] = {}
         outputs: dict[str, Any] = {}
         k_disc, k_gen = jax.random.split(rng)
+
+        # uint8-shipped tensors normalize on device (fused into the step;
+        # float32 feeds pass through untouched)
+        batch = preprocess_batch(batch, spec)
 
         if do_disc and do_gen and fuse:
             state, metrics, outputs = _fused_update(
