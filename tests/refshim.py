@@ -287,6 +287,10 @@ def load_reference() -> SimpleNamespace:
     # shadows the name when the repo root is on sys.path — import the
     # reference one explicitly by file location.
     import eval_utils as ref_eval_utils  # noqa: E402
+    import human_utils.common.imglib.affine as ref_affine  # noqa: E402
+    import human_utils.common.imglib.format as ref_format  # noqa: E402
+    import human_utils.common.utility.augment as ref_augment  # noqa: E402
+    import human_utils.dataloader.dataloader as ref_dataloader  # noqa: E402
 
     spec = importlib.util.spec_from_file_location("ref_eval", REF + "/eval.py")
     ref_eval = importlib.util.module_from_spec(spec)
@@ -305,6 +309,10 @@ def load_reference() -> SimpleNamespace:
         metrics=ref_metrics,
         eval_utils=ref_eval_utils,
         eval=ref_eval,
+        affine=ref_affine,
+        format=ref_format,
+        augment=ref_augment,
+        dataloader=ref_dataloader,
     )
     _cache["ns"] = ns
     return ns

@@ -82,7 +82,9 @@ def generate_patch_sample_data(
     else:
         scale, rot, do_flip, color_scale = 1.0, 0.0, False, [1.0, 1.0, 1.0]
 
-    rot = (-rot if do_flip else rot) + (-smp.rot if do_flip else smp.rot)
+    # reference dataloader.py:50-54: under flip the SAMPLE rotation flips
+    # sign but the freshly drawn augmentation rotation does not
+    rot = rot + (-smp.rot if do_flip else smp.rot)
     rot = AF.norm_rot_angle(rot)
 
     img_patch, trans = AF.gen_patch_image_from_box(
@@ -92,6 +94,14 @@ def generate_patch_sample_data(
     # BGR -> RGB, HWC (NHWC-native; reference emits CHW).
     img_patch = img_patch[..., ::-1]
 
+    # INTENTIONAL deviation (documented): the reference warps the
+    # UNFLIPPED mask with the flipped-frame trans (dataloader.py:63 never
+    # mirrors cvmask), leaving mask and image patch horizontally
+    # misaligned whenever flip aug fires — latent in the reference because
+    # every shipped config sets do_flip_aug false. We mirror the mask
+    # source first, exactly like gen_patch_image_from_box_cv mirrors the
+    # image, so the pair stays aligned (pinned by
+    # tests/test_reference_parity_augment.py).
     mask_src = cvmask if not do_flip else cvmask[:, ::-1]
     mask_patch = AF.warp_patch(
         np.ascontiguousarray(mask_src), trans, patch_width, patch_height
