@@ -5,7 +5,11 @@ Usage: python _dist_worker.py <coordinator> <num_procs> <proc_id> <out_json>
 
 scope 'full' (default) runs everything; scope 'step' runs only the mesh
 bring-up + loader sharding + the fused DP x TP train step (used by the
-4-process test, where the full battery would be needlessly slow).
+4-process test, where the full battery would be needlessly slow);
+scopes 'ckpt_save' / 'ckpt_restore' (extra argv[6] = shared ckpt dir)
+exercise the collective sharded checkpoint on the (data=2, model=2) mesh:
+save at an epoch boundary mid-trajectory, then a FRESH 2-process run
+restores and must match the uninterrupted trajectory bitwise.
 
 Exercises, under a REAL 2-process jax.distributed runtime (not the
 8-virtual-device single-process mesh):
@@ -64,6 +68,12 @@ def main():
     # --- cross_host_mean ---
     from x_as_supervision_tpu.parallel.collectives import cross_host_mean
 
+    if scope == "ckpt_save":
+        _run_ckpt_save(result, out_path, sys.argv[6])
+        return
+    if scope == "ckpt_restore":
+        _run_ckpt_restore(result, out_path, sys.argv[6])
+        return
     if scope != "full":
         _run_step_scope(result, out_path)
         return
@@ -183,6 +193,107 @@ def main():
     result["tp_step_loss"] = float(metrics["loss_total"])
     result["tp_step_disc"] = float(metrics["loss_disc"])
 
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def _ckpt_harness(init_seed):
+    """Shared machinery for the ckpt_save / ckpt_restore scopes: the fused
+    GAN step on the global (data=2, model=2) mesh with TP-sharded state,
+    deterministic batches, and a whole-state checksum."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_train_step import TINY_CONFIG
+
+    from x_as_supervision_tpu.data.synthetic import SyntheticPoseDataset
+    from x_as_supervision_tpu.parallel import mesh as M
+    from x_as_supervision_tpu.parallel.tp import shard_state
+    from x_as_supervision_tpu.train.factory import build_gan_spec
+    from x_as_supervision_tpu.train.state import (
+        init_train_state, make_optimizers, make_train_step,
+    )
+
+    cfg = {k: v for k, v in TINY_CONFIG.items()}
+    spec = build_gan_spec(cfg)
+    ds = SyntheticPoseDataset(
+        num_samples=16, cam_id_list=cfg["model_params"]["cam_id_list"],
+        patch_size=64, seed=5,
+    )
+    local, offset = M.process_local_batch_slice(4)
+
+    mesh = M.make_mesh(model_parallelism=2)
+
+    def batch_for(step_idx):
+        full = ds.device_batch((step_idx * 4) % 16, 4)
+        local_batch = {
+            k: np.asarray(v)[offset:offset + local] for k, v in full.items()
+        }
+        return M.shard_batch(local_batch, mesh)
+
+    opt_det, opt_disc = make_optimizers(cfg["train_params"], 10)
+    init_batch = {
+        k: np.asarray(v)[offset:offset + local]
+        for k, v in ds.device_batch(0, 4).items()
+    }
+    state = init_train_state(
+        spec, jax.random.PRNGKey(init_seed), init_batch, opt_det, opt_disc,
+    )
+    state = shard_state(state, mesh)
+    step = make_train_step(spec, opt_det, opt_disc)
+
+    def run_step(state, step_idx):
+        key = jax.random.fold_in(jax.random.PRNGKey(7), step_idx)
+        state, metrics, _ = step(
+            state, batch_for(step_idx), key, do_disc=True, do_gen=True,
+            with_outputs=False,
+        )
+        return state, float(metrics["loss_total"])
+
+    checksum = jax.jit(
+        lambda s: sum(
+            jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+            for leaf in jax.tree.leaves(s)
+        )
+    )
+    return state, run_step, checksum
+
+
+def _run_ckpt_save(result, out_path, ckpt_dir):
+    """Two steps -> collective sharded save at the 'epoch boundary' ->
+    two more steps = the uninterrupted trajectory."""
+    from x_as_supervision_tpu.train import checkpoint as ckpt
+
+    state, run_step, checksum = _ckpt_harness(init_seed=0)
+    for i in (0, 1):
+        state, _ = run_step(state, i)
+    path = ckpt.save_checkpoint(ckpt_dir, 0, state)
+    result["ckpt_path"] = path
+    losses = []
+    for i in (2, 3):
+        state, loss = run_step(state, i)
+        losses.append(loss)
+    result["post_losses"] = losses
+    result["final_checksum"] = float(checksum(state))
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def _run_ckpt_restore(result, out_path, ckpt_dir):
+    """A FRESH 2-process run (different init seed) restores the sharded
+    checkpoint and must reproduce the uninterrupted trajectory bit-for-bit."""
+    from x_as_supervision_tpu.train import checkpoint as ckpt
+
+    state, run_step, checksum = _ckpt_harness(init_seed=999)
+    path = ckpt.ckpt_path(ckpt_dir, 0)
+    state = ckpt.restore_resume(path, state)
+    losses = []
+    for i in (2, 3):
+        state, loss = run_step(state, i)
+        losses.append(loss)
+    result["post_losses"] = losses
+    result["final_checksum"] = float(checksum(state))
     with open(out_path, "w") as f:
         json.dump(result, f)
 

@@ -83,11 +83,14 @@ def initialize_multihost(
 
     Mirrors the torchrun rendezvous role (reference: train.py:43-45) but via
     JAX's coordination service; call before any other JAX API in multi-host
-    deployments. On TPU pods only `coordinator` is needed (identity comes
-    from the TPU metadata); on CPU/GPU clusters pass `num_processes` and
-    `process_id` explicitly (like torchrun's RANK/WORLD_SIZE).
+    deployments. On TPU pods pass ``coordinator='auto'`` (everything —
+    coordinator, identity, peers — comes from the TPU metadata); on CPU/GPU
+    clusters pass an explicit address plus `num_processes` and `process_id`
+    (like torchrun's RANK/WORLD_SIZE).
     """
-    if coordinator:
+    if coordinator == "auto":
+        jax.distributed.initialize()
+    elif coordinator:
         kwargs = {}
         if num_processes is not None:
             kwargs["num_processes"] = num_processes

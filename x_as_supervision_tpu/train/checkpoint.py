@@ -46,17 +46,35 @@ def latest_checkpoint(save_dir: str) -> str | None:
 
 
 def save_checkpoint(save_dir: str, epoch: int, state) -> str:
+    """Sharded save of the (possibly mesh-placed) state.
+
+    The state's jax.Arrays are handed to orbax as-is: each process writes
+    only its addressable shards, so TP-sharded parameters on a multi-host
+    mesh save without ever being gathered (a `device_get` here would raise
+    on non-fully-addressable arrays). Under `jax.process_count() > 1` this
+    is a COLLECTIVE — every process must call it (the trainer does; the
+    reference's rank-0-only torch.save at train.py:125-134 maps to orbax's
+    primary-host directory commit)."""
     path = ckpt_path(save_dir, epoch)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, state, force=True)
     return path
+
+
+def _abstract_leaf(x):
+    """Template leaf for a sharding-preserving restore: jax.Arrays become
+    ShapeDtypeStructs carrying their sharding, so each process reads only
+    the shards it addresses; host arrays restore concretely."""
+    if isinstance(x, jax.Array):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+    return x
 
 
 def _restore_like(path: str, template):
     with ocp.StandardCheckpointer() as ckptr:
         # orbax requires absolute paths
         return ckptr.restore(
-            os.path.abspath(path), jax.tree.map(lambda x: x, template)
+            os.path.abspath(path), jax.tree.map(_abstract_leaf, template)
         )
 
 

@@ -53,6 +53,17 @@ def create_run_dir(
         name += "_FINETUNE"
     stamp = time.strftime("%d_%m_%y_%H.%M.%S", time.gmtime())
     run_dir = os.path.join(log_root, name + "_" + seed_tag + extra_tag + stamp)
+    if jax.process_count() > 1:
+        # every process must agree on the (timestamped) run dir — the
+        # sharded checkpoint save is collective over it — so process 0's
+        # choice is broadcast (clock skew would otherwise fork the name)
+        from jax.experimental import multihost_utils
+
+        padded = np.zeros(1024, np.uint8)
+        data = np.frombuffer(run_dir.encode(), dtype=np.uint8)
+        padded[: len(data)] = data
+        agreed = np.asarray(multihost_utils.broadcast_one_to_all(padded))
+        run_dir = bytes(agreed[agreed != 0]).decode()
     if jax.process_index() == 0:
         os.makedirs(run_dir, exist_ok=True)
         dst = os.path.join(run_dir, os.path.basename(config_path))
@@ -137,15 +148,20 @@ class Trainer:
         state = init_train_state(
             self.spec, self.rng, sample, self.opt_det, self.opt_disc
         )
-        backbone_init = backbone_init or config["model_params"].get(
-            "detector_params", {}
-        ).get("backbone_init")
-        if backbone_init:
-            # ImageNet initialization from a converted torchvision
-            # checkpoint (offline; reference loads the model zoo at
-            # construction, network.py:46-54).
-            from ..tools.convert_torch_resnet import load_npz_into_variables
+        det_p = config["model_params"].get("detector_params", {})
+        backbone_init = backbone_init or det_p.get("backbone_init")
+        from ..tools.convert_torch_resnet import (
+            load_npz_into_variables, resolve_backbone_init,
+        )
 
+        # ImageNet initialization, reference-default style (the reference
+        # loads the model zoo at construction, network.py:46-54): an
+        # explicit npz/pth (pth auto-converted), or auto-detection under
+        # data/pretrained/ when nothing is configured.
+        backbone_init = resolve_backbone_init(
+            backbone_init, det_p.get("num_layers", 50)
+        )
+        if backbone_init:
             det_vars = load_npz_into_variables(
                 backbone_init,
                 {"params": state.det_params, "batch_stats": state.det_stats},
@@ -156,22 +172,26 @@ class Trainer:
             )
             print(f"backbone initialized from {backbone_init}")
         self.epochs_run = 0
-        if checkpoint_path is not None:
-            if mode == "train":
-                state = ckpt.restore_resume(checkpoint_path, state)
-                self.epochs_run = int(state.epoch)
-                print(f"Resuming training from epoch {self.epochs_run}")
-            elif mode == "finetune":
-                state = ckpt.restore_finetune(checkpoint_path, state)
-                print("Finetuning from checkpoint (optimizers reset)")
-            else:
-                raise NotImplementedError(mode)
+        if checkpoint_path is not None and mode == "finetune":
+            # weights-only graft onto the fresh state; placed below with
+            # everything else (reference: train.py:115-121)
+            state = ckpt.restore_finetune(checkpoint_path, state)
+            print("Finetuning from checkpoint (optimizers reset)")
+        elif checkpoint_path is not None and mode != "train":
+            raise NotImplementedError(mode)
         if self.model_parallelism > 1:
             from ..parallel.tp import shard_state
 
             self.state = shard_state(state, self.mesh)
         else:
             self.state = M.replicate_state(state, self.mesh)
+        if checkpoint_path is not None and mode == "train":
+            # restore AFTER mesh placement so the template carries the
+            # production shardings: each process reads only its own shards
+            # of TP-partitioned leaves (no full-array gather anywhere)
+            self.state = ckpt.restore_resume(checkpoint_path, self.state)
+            self.epochs_run = int(self.state.epoch)
+            print(f"Resuming training from epoch {self.epochs_run}")
 
         from ..data.loader import BatchLoader
 
@@ -283,9 +303,10 @@ class Trainer:
             self.state = self.state.replace(
                 epoch=self.state.epoch + 1
             )
-            if jax.process_index() == 0 and (
-                epoch % self.ckpt_freq == 0 or epoch == self.num_epochs - 1
-            ):
+            if epoch % self.ckpt_freq == 0 or epoch == self.num_epochs - 1:
+                # collective: every process writes its addressable shards
+                # (orbax commits the directory from the primary host)
                 path = ckpt.save_checkpoint(self.save_dir, epoch, self.state)
-                print(f"checkpoint saved: {path}")
+                if jax.process_index() == 0:
+                    print(f"checkpoint saved: {path}")
         self.profiler.close()
