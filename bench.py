@@ -28,7 +28,7 @@ V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
 # ceilings + measured bandwidth classes serialized => ~200 ms/step).
 PRACTICAL_SOL_IMG_S = 640.0
 
-GLOBAL_BATCH = 32
+GLOBAL_BATCH = int(os.environ.get("XAS_BENCH_BATCH", 32))
 WARMUP = 3
 ITERS = 15
 

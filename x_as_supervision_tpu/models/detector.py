@@ -41,13 +41,15 @@ class KPDetector3D(nn.Module):
     use_pallas: bool | None = None
     bn_groups: int = 1
     fuse_bn: bool = False
+    phase_head: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
-            fuse_bn=self.fuse_bn, name="net",
+            fuse_bn=self.fuse_bn, phase_head=self.phase_head,
+            name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -78,6 +80,7 @@ class KPDetector3DMulti(nn.Module):
     use_pallas: bool | None = None
     bn_groups: int = 1
     fuse_bn: bool = False
+    phase_head: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = True, stage: str = "all"):
@@ -90,7 +93,8 @@ class KPDetector3DMulti(nn.Module):
         net = ResPoseNet(
             self.num_kp, self.depth_dim, self.num_layers, dtype=self.dtype,
             fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
-            fuse_bn=self.fuse_bn, name="net",
+            fuse_bn=self.fuse_bn, phase_head=self.phase_head,
+            name="net",
         )
         if stage == "features":
             return net(img, train, stage="features")
@@ -131,6 +135,9 @@ def build_detector(detector_params: dict, dtype=jnp.float32,
         # (models/resnet.py:Bottleneck.fuse_bn); same single-device-TPU
         # gate as the decode kernels.
         fuse_bn=bool(detector_params.get("fuse_bn", False)) and pallas_ok(),
+        # phase-layout-propagated deconv head (models/deconv_phase.py);
+        # exact + parameter-compatible, pure XLA (no device gate needed)
+        phase_head=bool(detector_params.get("phase_head", False)),
     )
     if name == "resnet_multi":
         return KPDetector3DMulti(

@@ -485,6 +485,12 @@ class DeconvHead(nn.Module):
     # sublane tiles, the same penalty that rejected the stencil upsample
     # (PERF.md). Kept as an opt-in for future layout-propagation work.
     subpixel: bool = False
+    # the round-4 layout-propagation experiment (models/deconv_phase.py):
+    # phase layout carried through ALL deconv layers (zero wasted MACs,
+    # outer-axis shifts only) with ONE interleave on the feature map at
+    # the end. Exact and parameter-compatible; measured on hardware —
+    # see PERF.md round 4.
+    phase: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
@@ -497,7 +503,28 @@ class DeconvHead(nn.Module):
         only the small feature map alive across the backward pass.
         Auto-naming is stable across stages (flax counters are per module
         type, and each stage creates its types in the same order)."""
-        if stage in ("all", "features"):
+        if stage in ("all", "features") and self.phase:
+            assert self.kernel_size == 4, "phase head requires k4"
+            from .deconv_phase import PhaseConvTranspose, phase_interleave
+
+            b, hb, wb, _ = x.shape
+            x = x[:, None, None]  # [B, Py=1, Px=1, Hb, Wb, C]
+            for i in range(self.num_deconv_layers):
+                x = PhaseConvTranspose(
+                    self.num_filters, dtype=self.dtype,
+                    name=f"ConvTranspose_{i}",
+                )(x)
+                # BN/ReLU on the phase-folded view: statistics over
+                # (B, P, Hb, Wb) == the interleaved layout's (B, H, W)
+                py, px = x.shape[1], x.shape[2]
+                xf = x.reshape(b * py * px, hb, wb, self.num_filters)
+                xf = _BN(self.dtype, groups=self.bn_groups)(xf, train)
+                xf = nn.relu(xf)
+                x = xf.reshape(b, py, px, hb, wb, self.num_filters)
+            x = phase_interleave(x)  # the head's single layout crossing
+            if stage == "features":
+                return x
+        elif stage in ("all", "features"):
             for i in range(self.num_deconv_layers):
                 if self.subpixel and self.kernel_size == 4:
                     x = SubpixelConvTranspose(
@@ -541,6 +568,7 @@ class ResPoseNet(nn.Module):
     fp32_logits: bool = True
     bn_groups: int = 1
     fuse_bn: bool = False
+    phase_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, stage: str = "all"):
@@ -549,7 +577,7 @@ class ResPoseNet(nn.Module):
         head = DeconvHead(
             self.num_joints, self.depth_dim, dtype=self.dtype,
             fp32_logits=self.fp32_logits, bn_groups=self.bn_groups,
-            name="head",
+            phase=self.phase_head, name="head",
         )
         if stage == "final":
             return head(x, train, stage="final")
