@@ -2,7 +2,10 @@
 # Per-host training launcher (TPU-native).
 # Usage: ./train.sh <num_hosts> <config_path> [extra_tag] [coordinator_addr]
 # One python process per TPU host; JAX discovers all local chips and the
-# global mesh spans hosts via --coordinator (jax.distributed).
+# global mesh spans hosts via --coordinator (jax.distributed). Coordinator
+# 'auto' = TPU-metadata discovery (pods); an explicit addr pairs with
+# XAS_NUM_PROCESSES/XAS_PROCESS_ID for non-TPU clusters (torchrun
+# RANK/WORLD_SIZE analogue). XAS_EXTRA_ARGS is forwarded verbatim.
 # Mirrors the reference's torchrun launcher UX (reference scripts/train.sh).
 set -e
 num_hosts=$1
@@ -25,6 +28,12 @@ if [[ -n $extra_tag_info ]]; then
 fi
 if [[ -n $coordinator ]]; then
     command+=" --coordinator $coordinator"
+fi
+if [[ -n ${XAS_NUM_PROCESSES:-} ]]; then
+    command+=" --num_processes $XAS_NUM_PROCESSES --process_id $XAS_PROCESS_ID"
+fi
+if [[ -n ${XAS_EXTRA_ARGS:-} ]]; then
+    command+=" $XAS_EXTRA_ARGS"
 fi
 
 echo "Running command: $command"

@@ -61,6 +61,12 @@ def main() -> None:
     parser.add_argument("--seed", default=-1, type=int)
     parser.add_argument("--coordinator", default=None,
                         help="jax.distributed coordinator addr for multi-host")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="world size for non-TPU multi-host launches "
+                             "(TPU pods discover it from metadata)")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this host's rank for non-TPU multi-host "
+                             "launches (torchrun RANK equivalent)")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the in-memory synthetic fixture")
     parser.add_argument("--fp32", action="store_true",
@@ -80,7 +86,7 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
-    initialize_multihost(opt.coordinator)
+    initialize_multihost(opt.coordinator, opt.num_processes, opt.process_id)
 
     import jax.numpy as jnp
 

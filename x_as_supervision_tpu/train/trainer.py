@@ -252,15 +252,30 @@ class Trainer:
                 }
                 sharded = M.shard_batch(device_batch, self.mesh)
                 step_rng = jax.random.fold_in(self.rng, cur_step)
-                want_outputs = (
-                    jax.process_index() == 0
-                    and cur_step % self.vis_interval == 0
-                )
+                # UNIFORM across processes: with_outputs selects a distinct
+                # compiled program (different collective schedule), and a
+                # per-process choice deadlocks the mesh on vis steps
+                # (caught by tests/test_launcher_integration.py — gloo recv
+                # timeout with process 0 in the outputs program and the
+                # rest in the other one). Non-zero processes compute the
+                # vis outputs and drop them, like DDP ranks do.
+                want_outputs = cur_step % self.vis_interval == 0
                 self.state, metrics, outputs = self.step_fn(
                     self.state, sharded, step_rng,
                     do_disc=do_disc, do_gen=do_gen,
                     with_outputs=want_outputs,
                 )
+                if want_outputs and outputs and jax.process_count() > 1:
+                    # vis outputs are batch-sharded GLOBAL arrays: a host
+                    # fetch from process 0 alone raises (spans
+                    # non-addressable devices). Gather collectively on
+                    # EVERY process — uniform program, numpy everywhere —
+                    # then only process 0 logs. (Scalar metrics are fully
+                    # replicated and fetch locally without this.)
+                    from jax.experimental import multihost_utils
+                    outputs = multihost_utils.process_allgather(
+                        outputs, tiled=True
+                    )
 
                 self.profiler.maybe_stop(cur_step)
                 self.timer.tick()
