@@ -165,18 +165,93 @@ def main() -> None:
     params, stats = convert_state_dict(sd, args.depth)
 
     flat = {}
-
-    def flatten(tree, prefix, tag):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                flatten(v, prefix + (k,), tag)
-            else:
-                flat[tag + "/" + "/".join(prefix + (k,))] = v
-
-    flatten(params, (), "params")
-    flatten(stats, (), "batch_stats")
+    _flatten_into(flat, params, (), "params")
+    _flatten_into(flat, stats, (), "batch_stats")
     np.savez(args.out, **flat)
     print(f"wrote {args.out} with {len(flat)} arrays")
+
+
+DEFAULT_PRETRAINED_DIR = "data/pretrained"
+
+
+def resolve_backbone_init(spec: str | None, depth: int) -> str | None:
+    """Resolve a backbone-init spec to a ready-to-load npz.
+
+    The reference builds models with ImageNet weights loaded inline by
+    default (reference network.py:46-54). Offline equivalent:
+
+      * ``None``: auto-detect ``data/pretrained/resnet<depth>_imagenet.npz``
+        (or a ``.pth`` there, auto-converted); returns None when absent —
+        fresh init, with no error (the offline default).
+      * ``*.npz``: used as-is; missing file is a clear error.
+      * ``*.pth`` / ``*.pt`` / ``*.pth.tar``: a torchvision checkpoint —
+        converted on the fly and cached as ``<stem>_r<depth>.npz`` beside
+        it (re-converted when the .pth is newer than the cache).
+    """
+    import os
+
+    if spec is None:
+        base = os.path.join(
+            DEFAULT_PRETRAINED_DIR, f"resnet{depth}_imagenet"
+        )
+        if os.path.isfile(base + ".npz"):
+            return base + ".npz"
+        for ext in (".pth", ".pt"):
+            if os.path.isfile(base + ext):
+                return _convert_pth(base + ext, depth)
+        return None
+    if spec.endswith(".npz"):
+        if not os.path.isfile(spec):
+            raise FileNotFoundError(
+                f"backbone_init npz not found: {spec} — convert a "
+                "torchvision checkpoint with tools/convert_torch_resnet "
+                "or pass the .pth directly for auto-conversion"
+            )
+        return spec
+    if spec.endswith((".pth", ".pt", ".pth.tar")):
+        if not os.path.isfile(spec):
+            raise FileNotFoundError(
+                f"backbone_init torch checkpoint not found: {spec}"
+            )
+        return _convert_pth(spec, depth)
+    raise ValueError(
+        f"backbone_init must be a .npz or torch .pth/.pt checkpoint, "
+        f"got: {spec}"
+    )
+
+
+def _convert_pth(pth_path: str, depth: int) -> str:
+    """Convert (and cache) a torchvision ResNet checkpoint to our npz."""
+    import os
+
+    stem = pth_path
+    for ext in (".pth.tar", ".pth", ".pt"):
+        if stem.endswith(ext):
+            stem = stem[: -len(ext)]
+            break
+    out = f"{stem}_r{depth}.npz"
+    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(
+        pth_path
+    ):
+        return out
+    sd = load_torch_checkpoint(pth_path)
+    sd.pop("fc.weight", None)
+    sd.pop("fc.bias", None)
+    params, stats = convert_state_dict(sd, depth)
+    flat = {}
+    _flatten_into(flat, params, (), "params")
+    _flatten_into(flat, stats, (), "batch_stats")
+    np.savez(out, **flat)
+    print(f"auto-converted {pth_path} -> {out} ({len(flat)} arrays)")
+    return out
+
+
+def _flatten_into(flat: dict, tree: dict, prefix: tuple, tag: str) -> None:
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _flatten_into(flat, v, prefix + (k,), tag)
+        else:
+            flat[tag + "/" + "/".join(prefix + (k,))] = v
 
 
 def load_npz_into_variables(npz_path: str, det_vars: dict) -> dict:
