@@ -55,6 +55,10 @@ def main() -> None:
     )
 
     cfg = _flagship_config()
+    if os.environ.get("XAS_BENCH_REMAT"):
+        # large-batch probes: rematerialization trades FLOPs for the
+        # activation memory that b>=64 spills (PERF.md round-4 b64 probe)
+        cfg["model_params"]["remat"] = True
     cams = cfg["dataset_params"]["cam_id_list"]
     spec = build_gan_spec(cfg, dtype=jnp.bfloat16)
 
