@@ -1,0 +1,62 @@
+#!/usr/bin/env bash
+# Round-4 XL accuracy campaign: converged S1 -> S2 on the scaled
+# self-rendered dataset (10,080 train samples, all 15 H36M action buckets;
+# tools/render_campaign.py --train_set campaign_train_xl), evaluated with
+# BOTH the H36M protocol (MPJPE family) and the MPI protocol (PCK/AUC via
+# dataset_params.eval_protocol).
+#
+# Usage: scripts/run_campaign_xl.sh [s1|s2|eval]   (default: all stages)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+STAGE="${1:-all}"
+OUT=benchmarks/campaign
+mkdir -p "$OUT"
+
+if [[ "$STAGE" == "s1" || "$STAGE" == "all" ]]; then
+  scripts/train_resumable.sh config/Campaign_XL_SurS1.yaml log/campaign_xl_s1 \
+    --seed 0 --worker 12 || exit 1
+fi
+
+S1_RUN=$(ls -dt log/campaign_xl_s1/*/ | head -1)
+S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt | sort | tail -1)
+echo "S1 ckpt: ${S1_CKPT}"
+
+if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
+  # first attempt initializes from the S1 checkpoint (finetune mode);
+  # crash retries resume campaign_xl_s2's own newest checkpoint
+  python train.py --config config/Campaign_XL_SurS2.yaml --finetune \
+    --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_xl_s2 \
+    --worker 12 \
+    || scripts/train_resumable.sh config/Campaign_XL_SurS2.yaml \
+         log/campaign_xl_s2 --seed 0 --worker 12 || exit 1
+fi
+
+S2_RUN=$(ls -dt log/campaign_xl_s2/*/ | head -1)
+S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt | sort | tail -1)
+echo "S2 ckpt: ${S2_CKPT}"
+
+# MPI-protocol (PCK@0.15m / AUC) config twin, generated on the fly
+python - <<'EOF'
+import yaml
+for s in (1, 2):
+    cfg = yaml.safe_load(open(f"config/Campaign_XL_SurS{s}.yaml"))
+    cfg["dataset_params"]["eval_protocol"] = "mpi"
+    yaml.safe_dump(cfg, open(f"/tmp/Campaign_XL_SurS{s}_mpi.yaml", "w"),
+                   sort_keys=False)
+EOF
+
+for pair in "1 ${S1_CKPT} ${S1_RUN}" "2 ${S2_CKPT} ${S2_RUN}"; do
+  set -- $pair
+  s=$1; ckpt=$2; run=$3
+  python eval.py --config config/Campaign_XL_SurS${s}.yaml \
+    --checkpoint "$ckpt" --multi_hypo best || exit 1
+  cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}.txt"
+  python eval.py --config /tmp/Campaign_XL_SurS${s}_mpi.yaml \
+    --checkpoint "$ckpt" --multi_hypo best || exit 1
+  cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"
+done
+
+echo "=== S1 (H36M protocol) ==="; cat "$OUT/xl_eval_s1.txt"
+echo "=== S2 (H36M protocol) ==="; cat "$OUT/xl_eval_s2.txt"
+echo "=== S1 (MPI protocol) ===";  cat "$OUT/xl_eval_s1_mpi.txt"
+echo "=== S2 (MPI protocol) ===";  cat "$OUT/xl_eval_s2_mpi.txt"
