@@ -140,3 +140,31 @@ def test_exact_conv_rewrites_match_reference_modules():
             {"params": {"kernel": tv["params"]["kernel"]}}, y)),
         np.asarray(ct.apply(tv, y)), atol=2e-5,
     )
+
+
+def test_avg_pool_head_shapes_and_grad():
+    """Global-avg-pool + FC head (reference avg_pool_head.py:3-12):
+    pooling over the spatial axes, Dense to out_channels, fp32 output
+    regardless of compute dtype, and nonzero gradients."""
+    from x_as_supervision_tpu.models.resnet import AvgPoolHead
+
+    head = AvgPoolHead(out_channels=54, dtype=jnp.bfloat16)
+    x = jnp.asarray(RNG.normal(size=(2, 8, 8, 32)), jnp.bfloat16)
+    variables = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(variables, x)
+    assert out.shape == (2, 54) and out.dtype == jnp.float32
+
+    # pooling semantics: a spatially-constant input equals a 1x1 input
+    const = jnp.broadcast_to(x[:, :1, :1], x.shape)
+    np.testing.assert_allclose(
+        np.asarray(head.apply(variables, const)),
+        np.asarray(head.apply(variables, const[:, :1, :1])),
+        rtol=1e-3,
+    )
+
+    g = jax.grad(
+        lambda v: jnp.sum(head.apply(v, x) ** 2)
+    )(variables)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

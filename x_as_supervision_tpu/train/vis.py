@@ -30,7 +30,8 @@ def _fig_to_chw(fig) -> np.ndarray:
 def draw_skeleton_2d(img, pose, parent_ids=None, flip_pairs=None):
     """Draw joints (+bones) on an HWC uint8 image in place."""
     left = set()
-    if flip_pairs is not None and np.max(flip_pairs) < pose.shape[0]:
+    if (flip_pairs is not None and np.size(flip_pairs)
+            and np.max(flip_pairs) < pose.shape[0]):
         left = {int(a) for a, _ in flip_pairs}
     for j in range(pose.shape[0]):
         x, y = int(round(pose[j, 0])), int(round(pose[j, 1]))
