@@ -22,13 +22,34 @@ S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt | sort | tail -1)
 echo "S1 ckpt: ${S1_CKPT}"
 
 if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
-  # first attempt initializes from the S1 checkpoint (finetune mode);
-  # crash retries resume campaign_xl_s2's own newest checkpoint
-  python train.py --config config/Campaign_XL_SurS2.yaml --finetune \
-    --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_xl_s2 \
-    --worker 12 \
-    || scripts/train_resumable.sh config/Campaign_XL_SurS2.yaml \
-         log/campaign_xl_s2 --seed 0 --worker 12 || exit 1
+  # Crash-resilient finetune: while campaign_xl_s2 has no checkpoint of
+  # its own, every retry re-initializes from the S1 checkpoint (a plain
+  # fresh restart here would silently drop the S1 init); once S2 has
+  # saved, retries resume its own newest checkpoint.
+  rc=1
+  for attempt in $(seq 1 12); do
+    S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
+    S2_OWN=""
+    if [[ -n "${S2_RUN}" ]]; then
+      S2_OWN=$(ls -d "${S2_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
+    fi
+    if [[ -n "${S2_OWN}" ]]; then
+      echo "[campaign] s2 attempt ${attempt}: resuming ${S2_OWN}"
+      python train.py --config config/Campaign_XL_SurS2.yaml \
+        --checkpoint "${S2_OWN}" --log_dir log/campaign_xl_s2 \
+        --seed 0 --worker 12
+    else
+      echo "[campaign] s2 attempt ${attempt}: finetune from ${S1_CKPT}"
+      python train.py --config config/Campaign_XL_SurS2.yaml --finetune \
+        --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_xl_s2 \
+        --worker 12
+    fi
+    rc=$?
+    [[ $rc -eq 0 ]] && break
+    echo "[campaign] s2 attempt ${attempt} exited rc=${rc}; retrying"
+    sleep 5
+  done
+  [[ $rc -eq 0 ]] || exit 1
 fi
 
 S2_RUN=$(ls -dt log/campaign_xl_s2/*/ | head -1)
