@@ -78,6 +78,7 @@ def test_pseudo_loader_consumes_constructed_output(shard, constructed):
     ds.use_smpl_pseudo_mask = True
     ds.mean = ds.std = None
     ds.rect_3d_width = 2000.0
+    ds.uint8_feed = False
     ds._setup_pseudo({
         "data_path": shard["out"], "use_flag": True, "use_mask": True,
     })
