@@ -52,9 +52,12 @@ if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
   [[ $rc -eq 0 ]] || exit 1
 fi
 
-S2_RUN=$(ls -dt log/campaign_xl_s2/*/ | head -1)
-S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt | sort | tail -1)
-echo "S2 ckpt: ${S2_CKPT}"
+S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
+S2_CKPT=""
+if [[ -n "${S2_RUN}" ]]; then
+  S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
+fi
+echo "S2 ckpt: ${S2_CKPT:-<none>}"
 
 # MPI-protocol (PCK@0.15m / AUC) config twin, generated on the fly
 python - <<'EOF'
@@ -68,7 +71,11 @@ EOF
 
 for pair in "1 ${S1_CKPT} ${S1_RUN}" "2 ${S2_CKPT} ${S2_RUN}"; do
   set -- $pair
-  s=$1; ckpt=$2; run=$3
+  s=${1:-}; ckpt=${2:-}; run=${3:-}
+  if [[ -z "$ckpt" ]]; then
+    echo "[campaign] stage S${s}: no checkpoint yet, skipping eval"
+    continue
+  fi
   python eval.py --config config/Campaign_XL_SurS${s}.yaml \
     --checkpoint "$ckpt" --multi_hypo best || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}.txt"
@@ -77,7 +84,6 @@ for pair in "1 ${S1_CKPT} ${S1_RUN}" "2 ${S2_CKPT} ${S2_RUN}"; do
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"
 done
 
-echo "=== S1 (H36M protocol) ==="; cat "$OUT/xl_eval_s1.txt"
-echo "=== S2 (H36M protocol) ==="; cat "$OUT/xl_eval_s2.txt"
-echo "=== S1 (MPI protocol) ===";  cat "$OUT/xl_eval_s1_mpi.txt"
-echo "=== S2 (MPI protocol) ===";  cat "$OUT/xl_eval_s2_mpi.txt"
+for f in xl_eval_s1 xl_eval_s2 xl_eval_s1_mpi xl_eval_s2_mpi; do
+  [[ -f "$OUT/$f.txt" ]] && { echo "=== $f ==="; cat "$OUT/$f.txt"; }
+done
