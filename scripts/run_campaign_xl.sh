@@ -17,39 +17,23 @@ if [[ "$STAGE" == "s1" || "$STAGE" == "all" ]]; then
     --seed 0 --worker 12 || exit 1
 fi
 
-S1_RUN=$(ls -dt log/campaign_xl_s1/*/ | head -1)
-S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt | sort | tail -1)
-echo "S1 ckpt: ${S1_CKPT}"
+S1_RUN=$(ls -dt log/campaign_xl_s1/*/ 2>/dev/null | head -1 || true)
+S1_CKPT=""
+if [[ -n "${S1_RUN}" ]]; then
+  S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
+fi
+echo "S1 ckpt: ${S1_CKPT:-<none>}"
 
 if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
-  # Crash-resilient finetune: while campaign_xl_s2 has no checkpoint of
-  # its own, every retry re-initializes from the S1 checkpoint (a plain
-  # fresh restart here would silently drop the S1 init); once S2 has
-  # saved, retries resume its own newest checkpoint.
-  rc=1
-  for attempt in $(seq 1 12); do
-    S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
-    S2_OWN=""
-    if [[ -n "${S2_RUN}" ]]; then
-      S2_OWN=$(ls -d "${S2_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
-    fi
-    if [[ -n "${S2_OWN}" ]]; then
-      echo "[campaign] s2 attempt ${attempt}: resuming ${S2_OWN}"
-      python train.py --config config/Campaign_XL_SurS2.yaml \
-        --checkpoint "${S2_OWN}" --log_dir log/campaign_xl_s2 \
-        --seed 0 --worker 12
-    else
-      echo "[campaign] s2 attempt ${attempt}: finetune from ${S1_CKPT}"
-      python train.py --config config/Campaign_XL_SurS2.yaml --finetune \
-        --checkpoint "${S1_CKPT}" --seed 0 --log_dir log/campaign_xl_s2 \
-        --worker 12
-    fi
-    rc=$?
-    [[ $rc -eq 0 ]] && break
-    echo "[campaign] s2 attempt ${attempt} exited rc=${rc}; retrying"
-    sleep 5
-  done
-  [[ $rc -eq 0 ]] || exit 1
+  # Crash- and hang-resilient finetune via the shared driver: while
+  # campaign_xl_s2 has no checkpoint of its own, every retry
+  # re-initializes from the S1 checkpoint (XAS_INIT_CKPT — a plain fresh
+  # restart would silently drop the S1 init); once S2 has saved, retries
+  # resume its own newest checkpoint. Hang detection (TB-staleness
+  # watchdog) comes with the driver.
+  XAS_INIT_CKPT="${S1_CKPT}" \
+    scripts/train_resumable.sh config/Campaign_XL_SurS2.yaml \
+      log/campaign_xl_s2 --seed 0 --worker 12 || exit 1
 fi
 
 S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
@@ -69,21 +53,23 @@ for s in (1, 2):
                    sort_keys=False)
 EOF
 
-for pair in "1 ${S1_CKPT} ${S1_RUN}" "2 ${S2_CKPT} ${S2_RUN}"; do
-  set -- $pair
-  s=${1:-}; ckpt=${2:-}; run=${3:-}
+eval_stage() {  # <stage-number> <ckpt> <run-dir>  (quoted args, no word split)
+  local s=$1 ckpt=$2 run=$3
   if [[ -z "$ckpt" ]]; then
     echo "[campaign] stage S${s}: no checkpoint yet, skipping eval"
-    continue
+    return 0
   fi
-  python eval.py --config config/Campaign_XL_SurS${s}.yaml \
+  python eval.py --config "config/Campaign_XL_SurS${s}.yaml" \
     --checkpoint "$ckpt" --multi_hypo best || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}.txt"
-  python eval.py --config /tmp/Campaign_XL_SurS${s}_mpi.yaml \
+  python eval.py --config "/tmp/Campaign_XL_SurS${s}_mpi.yaml" \
     --checkpoint "$ckpt" --multi_hypo best || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"
-done
+}
+eval_stage 1 "${S1_CKPT}" "${S1_RUN}"
+eval_stage 2 "${S2_CKPT}" "${S2_RUN}"
 
 for f in xl_eval_s1 xl_eval_s2 xl_eval_s1_mpi xl_eval_s2_mpi; do
-  [[ -f "$OUT/$f.txt" ]] && { echo "=== $f ==="; cat "$OUT/$f.txt"; }
+  if [[ -f "$OUT/$f.txt" ]]; then echo "=== $f ==="; cat "$OUT/$f.txt"; fi
 done
+exit 0

@@ -30,7 +30,9 @@ if [[ -n $coordinator ]]; then
     command+=" --coordinator $coordinator"
 fi
 if [[ -n ${XAS_NUM_PROCESSES:-} ]]; then
-    command+=" --num_processes $XAS_NUM_PROCESSES --process_id $XAS_PROCESS_ID"
+    # fail fast on a missing rank rather than letting argparse mis-parse
+    # an empty --process_id value
+    command+=" --num_processes $XAS_NUM_PROCESSES --process_id ${XAS_PROCESS_ID:?XAS_PROCESS_ID must be set with XAS_NUM_PROCESSES}"
 fi
 if [[ -n ${XAS_EXTRA_ARGS:-} ]]; then
     command+=" $XAS_EXTRA_ARGS"

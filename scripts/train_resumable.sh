@@ -17,6 +17,12 @@
 # .orbax-checkpoint-tmp dirs are cleared before each attempt (an
 # interrupted save must not block the next one).
 #   XAS_STALL_SECS  (default 1200)   XAS_GRACE_SECS  (default 3000)
+#
+# Finetune bootstrap: XAS_INIT_CKPT=<ckpt> makes every attempt that finds
+# NO checkpoint of its own in <log_dir> start `--finetune --checkpoint
+# $XAS_INIT_CKPT` instead of a fresh init (an S1->S2 stage must not drop
+# its S1 initialization when it crashes before its first save); once the
+# run has saved, retries resume its own newest checkpoint as usual.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -37,6 +43,10 @@ for attempt in $(seq 1 12); do
     echo "[resumable] attempt ${attempt}: resuming from ${CKPT}"
     python train.py --config "${CFG}" --checkpoint "${CKPT}" \
       --log_dir "${LOGDIR}" "$@" &
+  elif [[ -n "${XAS_INIT_CKPT:-}" ]]; then
+    echo "[resumable] attempt ${attempt}: finetune from ${XAS_INIT_CKPT}"
+    python train.py --config "${CFG}" --finetune \
+      --checkpoint "${XAS_INIT_CKPT}" --log_dir "${LOGDIR}" "$@" &
   else
     echo "[resumable] attempt ${attempt}: fresh start"
     python train.py --config "${CFG}" --log_dir "${LOGDIR}" "$@" &

@@ -241,7 +241,12 @@ def _convert_pth(pth_path: str, depth: int) -> str:
     flat = {}
     _flatten_into(flat, params, (), "params")
     _flatten_into(flat, stats, (), "batch_stats")
-    np.savez(out, **flat)
+    # atomic publish: concurrent ranks (launch_train.sh local fan-out) must
+    # never np.load a half-written cache
+    # np.savez appends '.npz' to names missing it — keep the suffix
+    tmp = f"{out[:-len('.npz')]}.tmp{os.getpid()}.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, out)
     print(f"auto-converted {pth_path} -> {out} ({len(flat)} arrays)")
     return out
 

@@ -77,16 +77,20 @@ def build_gan_spec(config: dict, dtype=jnp.float32) -> GanSpec:
     # the host-normalized default path too.
     dp = config.get("dataset_params", {})
     di = dp.get("dataiter", {})
-    if di.get("mean") is not None and di.get("std") is not None:
-        import dataclasses
+    import dataclasses
 
-        spec = dataclasses.replace(
-            spec,
+    # feed_rm_bg is wired independently of the normalization stats: a
+    # uint8 feed defers rm_bg to the device even when dataiter mean/std
+    # are null, and the Evaluator sets it unconditionally — the step must
+    # agree. (preprocess_batch only applies it to was-uint8 images, so
+    # host-normalized float feeds are never double-masked.)
+    updates: dict = {"feed_rm_bg": bool(dp.get("rm_bg", False))}
+    if di.get("mean") is not None and di.get("std") is not None:
+        updates.update(
             feed_mean=tuple(float(v) for v in di["mean"]),
             feed_std=tuple(float(v) for v in di["std"]),
-            feed_rm_bg=bool(dp.get("rm_bg", False)),
         )
-    return spec
+    return dataclasses.replace(spec, **updates)
 
 
 def load_smpl_assets(config: dict):

@@ -59,8 +59,17 @@ def create_run_dir(
         # choice is broadcast (clock skew would otherwise fork the name)
         from jax.experimental import multihost_utils
 
-        padded = np.zeros(1024, np.uint8)
         data = np.frombuffer(run_dir.encode(), dtype=np.uint8)
+        # fixed-size buffer (broadcast needs identical shapes on every
+        # process); sized to the path, with a hard error instead of a
+        # numpy broadcast cliff on pathological log roots
+        size = 4096
+        if len(data) >= size:
+            raise ValueError(
+                f"run_dir path too long for the multi-host broadcast "
+                f"buffer ({len(data)} >= {size}): {run_dir}"
+            )
+        padded = np.zeros(size, np.uint8)
         padded[: len(data)] = data
         agreed = np.asarray(multihost_utils.broadcast_one_to_all(padded))
         run_dir = bytes(agreed[agreed != 0]).decode()
