@@ -5,7 +5,11 @@
 # BOTH the H36M protocol (MPJPE family) and the MPI protocol (PCK/AUC via
 # dataset_params.eval_protocol).
 #
-# Usage: scripts/run_campaign_xl.sh [s1|s2|eval]   (default: all stages)
+# Usage: scripts/run_campaign_xl.sh [s1|s2|s1ext|eval]   (default: all
+# stages except s1ext). s1ext is the matched-compute control: the
+# converged S1 checkpoint finetuned 5 MORE epochs with S1's own losses
+# under S2's exact optimizer schedule (config/Campaign_XL_SurS1ext.yaml)
+# — S1ext vs S2 then differ ONLY in the unsupervised loss terms.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 STAGE="${1:-all}"
@@ -34,6 +38,30 @@ if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
   XAS_INIT_CKPT="${S1_CKPT}" \
     scripts/train_resumable.sh config/Campaign_XL_SurS2.yaml \
       log/campaign_xl_s2 --seed 0 --worker 12 || exit 1
+fi
+
+if [[ "$STAGE" == "s1ext" ]]; then
+  XAS_INIT_CKPT="${S1_CKPT}" \
+    scripts/train_resumable.sh config/Campaign_XL_SurS1ext.yaml \
+      log/campaign_xl_s1ext --seed 0 --worker 12 || exit 1
+  EXT_RUN=$(ls -dt log/campaign_xl_s1ext/*/ 2>/dev/null | head -1 || true)
+  EXT_CKPT=$(ls -d "${EXT_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
+  python - <<'EOF'
+import yaml
+cfg = yaml.safe_load(open("config/Campaign_XL_SurS1ext.yaml"))
+cfg["dataset_params"]["eval_protocol"] = "mpi"
+yaml.safe_dump(cfg, open("/tmp/Campaign_XL_SurS1ext_mpi.yaml", "w"),
+               sort_keys=False)
+EOF
+  python eval.py --config config/Campaign_XL_SurS1ext.yaml \
+    --checkpoint "${EXT_CKPT}" --multi_hypo best || exit 1
+  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext.txt"
+  python eval.py --config /tmp/Campaign_XL_SurS1ext_mpi.yaml \
+    --checkpoint "${EXT_CKPT}" --multi_hypo best || exit 1
+  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_mpi.txt"
+  python eval.py --config config/Campaign_XL_SurS1ext.yaml \
+    --checkpoint "${EXT_CKPT}" --multi_hypo confident || exit 1
+  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_confident.txt"
 fi
 
 S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
