@@ -220,6 +220,30 @@ def _background(rng, img_size):
                    0, 255).astype(np.uint8)
 
 
+def _folder_complete(hm_root, folder, n_frames):
+    """True iff all 4 camera renders of `folder` already finished on disk.
+
+    Frames are written in (cam, t) order, so per cam it suffices to check
+    the meta file and the LAST frame/mask. Folders are independently
+    seeded (seed * 7919 + fi), so skipping complete ones and re-rendering
+    the rest reproduces a single uninterrupted run bit-for-bit.
+    """
+    for cam in range(4):
+        cam_folder = f"{folder}_ca_{cam + 1:02d}"
+        img_dir = os.path.join(hm_root, "images", cam_folder)
+        mask_dir = img_dir.replace(
+            os.path.join("hm36", "images"),
+            os.path.join("sam_masks", "hm36"),
+        )
+        meta = os.path.join(hm_root, "annot", cam_folder, "matlab_meta.txt")
+        last = "%s_%06d" % (cam_folder, n_frames)
+        if not (os.path.isfile(meta)
+                and os.path.isfile(os.path.join(img_dir, last + ".jpg"))
+                and os.path.isfile(os.path.join(mask_dir, last + ".png"))):
+            return False
+    return True
+
+
 def render_hm36(root, model, h36m_reg, radii, image_set, frames_per_folder,
                 img_size=384, seed=0):
     """Render all folders of the given campaign subset policy."""
@@ -242,6 +266,10 @@ def render_hm36(root, model, h36m_reg, radii, image_set, frames_per_folder,
         cams.append((rot, trans))
 
     for fi, folder in enumerate(folders):
+        if _folder_complete(hm_root, folder, frames_per_folder):
+            print(f"skipping {image_set} folder {folder} (already rendered)",
+                  flush=True)
+            continue
         rng = np.random.default_rng(seed * 7919 + fi)
         n = frames_per_folder
         poses, betas_all = _sample_poses(n, seed * 293 + fi)
@@ -301,7 +329,7 @@ def render_hm36(root, model, h36m_reg, radii, image_set, frames_per_folder,
                     mask * 255,
                 )
         print(f"rendered {image_set} folder {folder} "
-              f"({n} frames x 4 cams)")
+              f"({n} frames x 4 cams)", flush=True)
 
 
 def main() -> None:
