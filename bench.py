@@ -19,7 +19,6 @@ import json
 import os
 import time
 
-import numpy as np
 
 A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
 NORTH_STAR = 3.0 * A100_EST_IMG_S
@@ -38,9 +37,9 @@ def main() -> None:
 
     # Persistent compilation cache: the fused step is a large XLA program
     # and the axon remote-compile path is slow; cache hits make reruns fast.
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from x_as_supervision_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

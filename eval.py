@@ -61,6 +61,9 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    from x_as_supervision_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     if opt.coordinator:
         from x_as_supervision_tpu.parallel.mesh import initialize_multihost

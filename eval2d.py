@@ -119,6 +119,9 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    from x_as_supervision_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

@@ -38,6 +38,9 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    from x_as_supervision_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from x_as_supervision_tpu.config import load_config
     from x_as_supervision_tpu.serve import PoseEstimator

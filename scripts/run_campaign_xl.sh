@@ -5,11 +5,13 @@
 # BOTH the H36M protocol (MPJPE family) and the MPI protocol (PCK/AUC via
 # dataset_params.eval_protocol).
 #
-# Usage: scripts/run_campaign_xl.sh [s1|s2|s1ext|eval]   (default: all
-# stages except s1ext). s1ext is the matched-compute control: the
-# converged S1 checkpoint finetuned 5 MORE epochs with S1's own losses
-# under S2's exact optimizer schedule (config/Campaign_XL_SurS1ext.yaml)
-# — S1ext vs S2 then differ ONLY in the unsupervised loss terms.
+# Usage: scripts/run_campaign_xl.sh [s1|s2|s1ext|eval|confident]
+# (default: all stages except s1ext/confident). s1ext is the
+# matched-compute control: the converged S1 checkpoint finetuned 5 MORE
+# epochs with S1's own losses under S2's exact optimizer schedule
+# (config/Campaign_XL_SurS1ext.yaml) — S1ext vs S2 then differ ONLY in
+# the unsupervised loss terms. confident re-runs the oracle-free
+# (--multi_hypo confident) eval rows for S1 and S2.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 STAGE="${1:-all}"
@@ -94,8 +96,26 @@ eval_stage() {  # <stage-number> <ckpt> <run-dir>  (quoted args, no word split)
     --checkpoint "$ckpt" --multi_hypo best || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"
 }
-eval_stage 1 "${S1_CKPT}" "${S1_RUN}"
-eval_stage 2 "${S2_CKPT}" "${S2_RUN}"
+if [[ "$STAGE" == "confident" ]]; then
+  eval_confident() {  # <stage-number> <ckpt> <run-dir>
+    local s=$1 ckpt=$2 run=$3
+    if [[ -z "$ckpt" ]]; then
+      echo "[campaign] stage S${s}: no checkpoint yet, skipping confident"
+      return 0
+    fi
+    python eval.py --config "config/Campaign_XL_SurS${s}.yaml" \
+      --checkpoint "$ckpt" --multi_hypo confident || exit 1
+    cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_confident.txt"
+  }
+  eval_confident 1 "${S1_CKPT}" "${S1_RUN}"
+  eval_confident 2 "${S2_CKPT}" "${S2_RUN}"
+  exit 0
+fi
+
+if [[ "$STAGE" != "s1ext" ]]; then
+  eval_stage 1 "${S1_CKPT}" "${S1_RUN}"
+  eval_stage 2 "${S2_CKPT}" "${S2_RUN}"
+fi
 
 for f in xl_eval_s1 xl_eval_s2 xl_eval_s1_mpi xl_eval_s2_mpi; do
   if [[ -f "$OUT/$f.txt" ]]; then echo "=== $f ==="; cat "$OUT/$f.txt"; fi

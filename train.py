@@ -86,6 +86,9 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    from x_as_supervision_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     initialize_multihost(opt.coordinator, opt.num_processes, opt.process_id)
 
     import jax.numpy as jnp

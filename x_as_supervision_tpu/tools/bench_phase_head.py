@@ -16,16 +16,15 @@ Usage (on the bench chip):
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 
 def _cache():
     import jax
 
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
 
 def bench_isolated(batch: int = 128, iters: int = 30, warmup: int = 5):

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 V5E_PEAK_BF16_FLOPS = 197e12
@@ -129,9 +128,9 @@ def main() -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     out = [run_case(args.batch, args.size, args.layers, args.iters,
                     args.warmup)]

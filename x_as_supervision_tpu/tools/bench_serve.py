@@ -38,7 +38,9 @@ def main() -> None:
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from ..utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
     import yaml
