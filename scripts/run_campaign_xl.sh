@@ -12,18 +12,46 @@
 # (config/Campaign_XL_SurS1ext.yaml) — S1ext vs S2 then differ ONLY in
 # the unsupervised loss terms. confident re-runs the oracle-free
 # (--multi_hypo confident) eval rows for S1 and S2.
+#
+# Every location and the per-CLI extra args are env-overridable so the
+# whole driver can run against a scaled-down fixture (exercised end to
+# end by tests/test_campaign_driver.py on a tiny CPU render):
+#   XAS_CAMPAIGN_CFG_DIR    config directory        (default: config)
+#   XAS_CAMPAIGN_PREFIX     config filename prefix  (default: Campaign_XL_Sur
+#                           -> ${PREFIX}S1.yaml / S2.yaml / S1ext.yaml)
+#   XAS_CAMPAIGN_LOG_ROOT   run-dir root            (default: log)
+#   XAS_CAMPAIGN_OUT        eval artifact dir       (default: benchmarks/campaign)
+#   XAS_CAMPAIGN_TRAIN_ARGS extra train.py args     (default: --seed 0 --worker 12)
+#   XAS_CAMPAIGN_EVAL_ARGS  extra eval.py args      (default: none)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 STAGE="${1:-all}"
-OUT=benchmarks/campaign
-mkdir -p "$OUT"
+CFG_DIR="${XAS_CAMPAIGN_CFG_DIR:-config}"
+PREFIX="${XAS_CAMPAIGN_PREFIX:-Campaign_XL_Sur}"
+LOG_ROOT="${XAS_CAMPAIGN_LOG_ROOT:-log}"
+OUT="${XAS_CAMPAIGN_OUT:-benchmarks/campaign}"
+IFS=' ' read -r -a TRAIN_ARGS <<< "${XAS_CAMPAIGN_TRAIN_ARGS:---seed 0 --worker 12}"
+IFS=' ' read -r -a EVAL_ARGS <<< "${XAS_CAMPAIGN_EVAL_ARGS:- }"
+mkdir -p "$OUT" "$LOG_ROOT"
+
+# MPI-protocol (PCK@0.15m / AUC) config twin, generated on the fly.
+make_mpi_twin() {  # <src-yaml> <dst-yaml>
+  python - "$1" "$2" <<'EOF'
+import sys
+import yaml
+src, dst = sys.argv[1], sys.argv[2]
+cfg = yaml.safe_load(open(src))
+cfg["dataset_params"]["eval_protocol"] = "mpi"
+yaml.safe_dump(cfg, open(dst, "w"), sort_keys=False)
+EOF
+}
 
 if [[ "$STAGE" == "s1" || "$STAGE" == "all" ]]; then
-  scripts/train_resumable.sh config/Campaign_XL_SurS1.yaml log/campaign_xl_s1 \
-    --seed 0 --worker 12 || exit 1
+  scripts/train_resumable.sh "$CFG_DIR/${PREFIX}S1.yaml" \
+    "$LOG_ROOT/campaign_xl_s1" "${TRAIN_ARGS[@]}" || exit 1
 fi
 
-S1_RUN=$(ls -dt log/campaign_xl_s1/*/ 2>/dev/null | head -1 || true)
+S1_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s1/*/ 2>/dev/null | head -1 || true)
 S1_CKPT=""
 if [[ -n "${S1_RUN}" ]]; then
   S1_CKPT=$(ls -d "${S1_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
@@ -38,50 +66,34 @@ if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
   # resume its own newest checkpoint. Hang detection (TB-staleness
   # watchdog) comes with the driver.
   XAS_INIT_CKPT="${S1_CKPT}" \
-    scripts/train_resumable.sh config/Campaign_XL_SurS2.yaml \
-      log/campaign_xl_s2 --seed 0 --worker 12 || exit 1
+    scripts/train_resumable.sh "$CFG_DIR/${PREFIX}S2.yaml" \
+      "$LOG_ROOT/campaign_xl_s2" "${TRAIN_ARGS[@]}" || exit 1
 fi
 
 if [[ "$STAGE" == "s1ext" ]]; then
   XAS_INIT_CKPT="${S1_CKPT}" \
-    scripts/train_resumable.sh config/Campaign_XL_SurS1ext.yaml \
-      log/campaign_xl_s1ext --seed 0 --worker 12 || exit 1
-  EXT_RUN=$(ls -dt log/campaign_xl_s1ext/*/ 2>/dev/null | head -1 || true)
+    scripts/train_resumable.sh "$CFG_DIR/${PREFIX}S1ext.yaml" \
+      "$LOG_ROOT/campaign_xl_s1ext" "${TRAIN_ARGS[@]}" || exit 1
+  EXT_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s1ext/*/ 2>/dev/null | head -1 || true)
   EXT_CKPT=$(ls -d "${EXT_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
-  python - <<'EOF'
-import yaml
-cfg = yaml.safe_load(open("config/Campaign_XL_SurS1ext.yaml"))
-cfg["dataset_params"]["eval_protocol"] = "mpi"
-yaml.safe_dump(cfg, open("/tmp/Campaign_XL_SurS1ext_mpi.yaml", "w"),
-               sort_keys=False)
-EOF
-  python eval.py --config config/Campaign_XL_SurS1ext.yaml \
-    --checkpoint "${EXT_CKPT}" --multi_hypo best || exit 1
+  make_mpi_twin "$CFG_DIR/${PREFIX}S1ext.yaml" "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml"
+  python eval.py --config "$CFG_DIR/${PREFIX}S1ext.yaml" \
+    --checkpoint "${EXT_CKPT}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext.txt"
-  python eval.py --config /tmp/Campaign_XL_SurS1ext_mpi.yaml \
-    --checkpoint "${EXT_CKPT}" --multi_hypo best || exit 1
+  python eval.py --config "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml" \
+    --checkpoint "${EXT_CKPT}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_mpi.txt"
-  python eval.py --config config/Campaign_XL_SurS1ext.yaml \
-    --checkpoint "${EXT_CKPT}" --multi_hypo confident || exit 1
+  python eval.py --config "$CFG_DIR/${PREFIX}S1ext.yaml" \
+    --checkpoint "${EXT_CKPT}" --multi_hypo confident "${EVAL_ARGS[@]}" || exit 1
   cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_confident.txt"
 fi
 
-S2_RUN=$(ls -dt log/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
+S2_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)
 S2_CKPT=""
 if [[ -n "${S2_RUN}" ]]; then
   S2_CKPT=$(ls -d "${S2_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
 fi
 echo "S2 ckpt: ${S2_CKPT:-<none>}"
-
-# MPI-protocol (PCK@0.15m / AUC) config twin, generated on the fly
-python - <<'EOF'
-import yaml
-for s in (1, 2):
-    cfg = yaml.safe_load(open(f"config/Campaign_XL_SurS{s}.yaml"))
-    cfg["dataset_params"]["eval_protocol"] = "mpi"
-    yaml.safe_dump(cfg, open(f"/tmp/Campaign_XL_SurS{s}_mpi.yaml", "w"),
-                   sort_keys=False)
-EOF
 
 eval_stage() {  # <stage-number> <ckpt> <run-dir>  (quoted args, no word split)
   local s=$1 ckpt=$2 run=$3
@@ -89,11 +101,12 @@ eval_stage() {  # <stage-number> <ckpt> <run-dir>  (quoted args, no word split)
     echo "[campaign] stage S${s}: no checkpoint yet, skipping eval"
     return 0
   fi
-  python eval.py --config "config/Campaign_XL_SurS${s}.yaml" \
-    --checkpoint "$ckpt" --multi_hypo best || exit 1
+  python eval.py --config "$CFG_DIR/${PREFIX}S${s}.yaml" \
+    --checkpoint "$ckpt" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}.txt"
-  python eval.py --config "/tmp/Campaign_XL_SurS${s}_mpi.yaml" \
-    --checkpoint "$ckpt" --multi_hypo best || exit 1
+  make_mpi_twin "$CFG_DIR/${PREFIX}S${s}.yaml" "$LOG_ROOT/${PREFIX}S${s}_mpi.yaml"
+  python eval.py --config "$LOG_ROOT/${PREFIX}S${s}_mpi.yaml" \
+    --checkpoint "$ckpt" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"
 }
 if [[ "$STAGE" == "confident" ]]; then
@@ -103,8 +116,8 @@ if [[ "$STAGE" == "confident" ]]; then
       echo "[campaign] stage S${s}: no checkpoint yet, skipping confident"
       return 0
     fi
-    python eval.py --config "config/Campaign_XL_SurS${s}.yaml" \
-      --checkpoint "$ckpt" --multi_hypo confident || exit 1
+    python eval.py --config "$CFG_DIR/${PREFIX}S${s}.yaml" \
+      --checkpoint "$ckpt" --multi_hypo confident "${EVAL_ARGS[@]}" || exit 1
     cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_confident.txt"
   }
   eval_confident 1 "${S1_CKPT}" "${S1_RUN}"
