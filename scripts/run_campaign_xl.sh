@@ -23,6 +23,9 @@
 #   XAS_CAMPAIGN_OUT        eval artifact dir       (default: benchmarks/campaign)
 #   XAS_CAMPAIGN_TRAIN_ARGS extra train.py args     (default: --seed 0 --worker 12)
 #   XAS_CAMPAIGN_EVAL_ARGS  extra eval.py args      (default: none)
+# The *_ARGS values are split on single spaces — arg values containing
+# spaces (e.g. quoted paths) are not supported. Expanding the
+# possibly-empty arrays under `set -u` needs bash >= 4.4.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 STAGE="${1:-all}"
@@ -58,6 +61,15 @@ if [[ -n "${S1_RUN}" ]]; then
 fi
 echo "S1 ckpt: ${S1_CKPT:-<none>}"
 
+# The finetune stages are meaningless without the S1 init: an empty
+# XAS_INIT_CKPT reads as "unset" to train_resumable.sh, which would
+# silently train the matched-compute control FROM SCRATCH.
+if [[ ( "$STAGE" == "s2" || "$STAGE" == "s1ext" ) && -z "$S1_CKPT" ]]; then
+  echo "[campaign] no S1 checkpoint under $LOG_ROOT/campaign_xl_s1;" \
+       "run the s1 stage first" >&2
+  exit 1
+fi
+
 if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
   # Crash- and hang-resilient finetune via the shared driver: while
   # campaign_xl_s2 has no checkpoint of its own, every retry
@@ -76,7 +88,8 @@ if [[ "$STAGE" == "s1ext" ]]; then
       "$LOG_ROOT/campaign_xl_s1ext" "${TRAIN_ARGS[@]}" || exit 1
   EXT_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s1ext/*/ 2>/dev/null | head -1 || true)
   EXT_CKPT=$(ls -d "${EXT_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
-  make_mpi_twin "$CFG_DIR/${PREFIX}S1ext.yaml" "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml"
+  make_mpi_twin "$CFG_DIR/${PREFIX}S1ext.yaml" \
+    "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml" || exit 1
   python eval.py --config "$CFG_DIR/${PREFIX}S1ext.yaml" \
     --checkpoint "${EXT_CKPT}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext.txt"
@@ -104,7 +117,8 @@ eval_stage() {  # <stage-number> <ckpt> <run-dir>  (quoted args, no word split)
   python eval.py --config "$CFG_DIR/${PREFIX}S${s}.yaml" \
     --checkpoint "$ckpt" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}.txt"
-  make_mpi_twin "$CFG_DIR/${PREFIX}S${s}.yaml" "$LOG_ROOT/${PREFIX}S${s}_mpi.yaml"
+  make_mpi_twin "$CFG_DIR/${PREFIX}S${s}.yaml" \
+    "$LOG_ROOT/${PREFIX}S${s}_mpi.yaml" || exit 1
   python eval.py --config "$LOG_ROOT/${PREFIX}S${s}_mpi.yaml" \
     --checkpoint "$ckpt" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
   cp "${run}eval/eval_result.txt" "$OUT/xl_eval_s${s}_mpi.txt"

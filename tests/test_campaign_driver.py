@@ -112,9 +112,15 @@ def test_campaign_driver_all_then_s1ext_then_confident(campaign_fixture):
     _run(["bash", "scripts/run_campaign_xl.sh", "s2"], env)
     for s in (1, 2):
         run_root = os.path.join(log, f"campaign_xl_s{s}")
-        runs = os.listdir(run_root)
-        assert len(runs) == 1, runs
-        names = os.listdir(os.path.join(run_root, runs[0]))
+        # >= 1: train_resumable.sh's designed retry behavior creates a
+        # second run dir if a crash precedes the first checkpoint save;
+        # check the newest run (mirroring the driver's `ls -dt | head -1`)
+        runs = sorted(
+            os.listdir(run_root),
+            key=lambda n: os.path.getmtime(os.path.join(run_root, n)),
+        )
+        assert len(runs) >= 1, runs
+        names = os.listdir(os.path.join(run_root, runs[-1]))
         assert any(n.endswith("_ckpt") for n in names), names
         _assert_eval_artifact(os.path.join(out, f"xl_eval_s{s}.txt"))
         _assert_eval_artifact(

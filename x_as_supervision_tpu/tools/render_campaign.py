@@ -84,25 +84,46 @@ def write_smpl_assets(smpl_root, model, h36m_reg, radii):
 
 # ---------------- pseudo stream: SURREAL segments ----------------
 
+def _segment_complete(seg_dir, s):
+    info = os.path.join(seg_dir, f"seg{s}_info.mat")
+    return (os.path.isfile(info)
+            and os.path.isfile(info.replace("_info.mat", "_segm.mat"))
+            and os.path.isfile(info.replace("_info.mat", ".mp4")))
+
+
 def synthesize_segments(surreal_root, model, radii, n_segments, n_frames,
                         seed=0):
-    """Write SURREAL-format segments under <root>/train/runN/segM_*."""
+    """Write SURREAL-format segments under <root>/train/runN/segM_*.
+
+    Each segment draws from its own seeded generator and is skipped when
+    already complete on disk, so an interrupted render resumed later (or a
+    partially deleted dataset re-rendered) is bit-identical to a single
+    uninterrupted run.
+    """
     import cv2
     import scipy.io as sio
 
-    rng = np.random.default_rng(seed)
     intrinsic = SC.get_intrinsic(RES_X, RES_Y)
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]
     cx, cy = intrinsic[0, 2], intrinsic[1, 2]
 
     for s in range(n_segments):
+        seg_dir = os.path.join(surreal_root, "train", f"run{s % 4}",
+                               f"seq{s}")
+        if _segment_complete(seg_dir, s):
+            print(f"skipping pseudo segment {s} (already rendered)",
+                  flush=True)
+            continue
+        rng = np.random.default_rng(seed * 104729 + s + 1)
         zrot = float(rng.uniform(0, 2 * np.pi))
         rz = np.array([
             [math.cos(zrot), -math.sin(zrot), 0],
             [math.sin(zrot), math.cos(zrot), 0],
             [0, 0, 1],
         ])
-        poses, betas_all = _sample_poses(n_frames, seed * 131 + s)
+        # 70001 offset: keeps pseudo pose seeds disjoint from the hm36
+        # folder pose seeds (seed*293 + fi), which collide at seed=0
+        poses, betas_all = _sample_poses(n_frames, seed * 131 + 70001 + s)
         betas = betas_all[0]
         gender = int(rng.integers(0, 2))
         # The Blender camera maps world +z (the post-rotate_body body-up
@@ -154,18 +175,11 @@ def synthesize_segments(surreal_root, model, radii, n_segments, n_frames,
             frame[mask > 0] = tone
             frames.append(frame)
 
-        seg_dir = os.path.join(surreal_root, "train", f"run{s % 4}",
-                               f"seq{s}")
         os.makedirs(seg_dir, exist_ok=True)
         info_path = os.path.join(seg_dir, f"seg{s}_info.mat")
-        sio.savemat(info_path, {
-            "pose": poses.T.astype(np.float32),
-            "shape": betas.reshape(10, 1).astype(np.float32),
-            "zrot": np.array([[zrot]]),
-            "camLoc": cam_loc.reshape(3, 1),
-            "gender": np.array([[gender]]),
-            "joints2D": joints2d, "joints3D": joints3d,
-        })
+        # info.mat is written LAST: it is both the completeness sentinel
+        # (_segment_complete) and the constructor's glob key, so a crash
+        # mid-segment never leaves a segment that looks finished.
         sio.savemat(info_path.replace("_info.mat", "_segm.mat"), segms)
         vw = cv2.VideoWriter(
             info_path.replace("_info.mat", ".mp4"),
@@ -174,6 +188,14 @@ def synthesize_segments(surreal_root, model, radii, n_segments, n_frames,
         for f in frames:
             vw.write(f)
         vw.release()
+        sio.savemat(info_path, {
+            "pose": poses.T.astype(np.float32),
+            "shape": betas.reshape(10, 1).astype(np.float32),
+            "zrot": np.array([[zrot]]),
+            "camLoc": cam_loc.reshape(3, 1),
+            "gender": np.array([[gender]]),
+            "joints2D": joints2d, "joints3D": joints3d,
+        })
 
 
 # ---------------- "real" domain: H36M-format multi-camera ----------------
@@ -365,31 +387,43 @@ def main() -> None:
         synthesize_segments(surreal_root, model, radii,
                             args.pseudo_segments, args.pseudo_frames,
                             seed=args.seed)
-        np.random.seed(args.seed)
         pseudo_out = os.path.join(args.out, "surreal_h36m_pose")
-        ctor = SC.SurrealConstructor(
-            smpl_root, pseudo_out, res=(RES_X, RES_Y),
-            h36m_regressor=h36m_reg,
-        )
-        import glob as _glob
-
-        infos = sorted(_glob.glob(os.path.join(
-            surreal_root, "train", "*", "*", "*_info.mat"
-        )))
-        written = []
-        for i, info in enumerate(infos):
-            written.extend(
-                ctor.process_segment(i, info, args.sample_times)
+        info_npy = os.path.join(pseudo_out, "info.npy")
+        if os.path.isfile(info_npy):
+            # the sweep is all-or-nothing (info.npy written last), so an
+            # existing index means the pseudo dataset is complete
+            print(f"pseudo dataset already swept "
+                  f"({len(np.load(info_npy))} frames)")
+        else:
+            np.random.seed(args.seed)
+            ctor = SC.SurrealConstructor(
+                smpl_root, pseudo_out, res=(RES_X, RES_Y),
+                h36m_regressor=h36m_reg,
             )
-        np.save(os.path.join(pseudo_out, "info.npy"), sorted(written))
-        print(f"pseudo dataset: {len(written)} frames from "
-              f"{len(infos)} segments")
+            import glob as _glob
+
+            infos = sorted(_glob.glob(os.path.join(
+                surreal_root, "train", "*", "*", "*_info.mat"
+            )))
+            written = []
+            for i, info in enumerate(infos):
+                written.extend(
+                    ctor.process_segment(i, info, args.sample_times)
+                )
+            np.save(info_npy, sorted(written))
+            print(f"pseudo dataset: {len(written)} frames from "
+                  f"{len(infos)} segments")
 
     if not args.skip_real:
         render_hm36(args.out, model, h36m_reg, radii, args.train_set,
                     args.train_frames, args.img_size, seed=args.seed)
         render_hm36(args.out, model, h36m_reg, radii, args.valid_set,
                     args.valid_frames, args.img_size, seed=args.seed + 1)
+
+    from .campaign_manifest import write_manifest
+
+    path = write_manifest(args.out, vars(args))
+    print(f"manifest: {path}")
 
 
 if __name__ == "__main__":
