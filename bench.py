@@ -6,11 +6,15 @@ iteration). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference publishes no throughput (BASELINE.md), so the
-ratio is against the repo's north star: 3x an estimated A100 reference
-throughput for the same workload. The A100 estimate (A100_EST_IMG_S) is a
-stated assumption, not a measurement: PyTorch DDP ResNet-50 fwd+bwd at
-256^2 with the extra pseudo forwards, line renderer, and GCN GAN overhead.
-vs_baseline >= 1.0 means the north star target is met under that estimate.
+ratio is against the repo's north star: 3x a DERIVED A100 reference
+throughput for the same workload (see the constants below for the full
+arithmetic: XLA-counted FLOPs/img x A100 TF32 peak x a stated torch-CNN
+MFU band). vs_baseline >= 1.0 means the north star is met at the band's
+central estimate; vs_baseline_band gives the ratio at the band's edges,
+and vs_north_star_generous keeps the rounds-1-4 ratio (A100 at 300
+img/s, an assumption ABOVE any published torch CNN efficiency) so the
+series stays comparable across rounds. Derivation: BASELINE.md /
+PERF.md round 5.
 """
 
 from __future__ import annotations
@@ -20,7 +24,26 @@ import os
 import time
 
 
-A100_EST_IMG_S = 300.0  # est. reference images/sec on one A100 (see docstring)
+# --- North-star denominator, derived (VERDICT r4 missing #3) ---
+# FLOPs/img: XLA cost analysis of the compiled step — 18.297 TFLOP / 128
+#   images (BENCH_r04); the torch step executes the same semantics.
+# Peak: the reference trains pure fp32 with cudnn.deterministic=True,
+#   benchmark=False (reference train.py:39-40); torch 2.x defaults put
+#   cudnn convs on TF32 tensor cores (allow_tf32=True), so A100 TF32
+#   dense peak (156 TFLOP/s) is the generous ceiling.
+# MFU band: 0.07-0.15, central 0.10 — STATED ASSUMPTION, not a
+#   measurement. Anchor: NVIDIA's tuned DeepLearningExamples ResNet-50
+#   sustains ~9-10% of peak on A100 (TF32 and AMP alike); deterministic-
+#   cudnn research code running a 3-network GAN step with two optimizers
+#   does not beat the tuned single-CNN anchor.
+A100_TF32_PEAK = 156e12
+FLOP_PER_IMG = 142.9e9
+A100_MFU_BAND = (0.07, 0.15)
+A100_MFU_CENTRAL = 0.10
+A100_EST_IMG_S = A100_MFU_CENTRAL * A100_TF32_PEAK / FLOP_PER_IMG  # ~109
+# Rounds 1-4 used a flat 300 img/s guess (= 27% MFU, above any published
+# torch CNN number); kept as a secondary ratio for cross-round comparison.
+A100_EST_GENEROUS_IMG_S = 300.0
 NORTH_STAR = 3.0 * A100_EST_IMG_S
 V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak
 # Practical workload speed of light (PERF.md round-2 bound: conv-class
@@ -127,6 +150,14 @@ def main() -> None:
                 "value": round(img_s_chip, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s_chip / NORTH_STAR, 4),
+                "vs_baseline_band": [
+                    round(img_s_chip / (3.0 * m * A100_TF32_PEAK
+                                        / FLOP_PER_IMG), 4)
+                    for m in reversed(A100_MFU_BAND)
+                ],
+                "vs_north_star_generous": round(
+                    img_s_chip / (3.0 * A100_EST_GENEROUS_IMG_S), 4
+                ),
                 "sol_fraction": round(img_s_chip / PRACTICAL_SOL_IMG_S, 4),
                 "step_time_ms": round(dt * 1e3, 2),
                 "global_batch": batch_size,

@@ -242,11 +242,52 @@ def _torch_geometric_module():
     return tg
 
 
+def _chumpy_module():
+    """Just enough chumpy for the reference's SMPL deserialization
+    (reference modules/smplpytorch/native/webuser/serialization.py:1-39
+    and posemapper.py): plain-numpy pkls wrapped in `.r`-bearing arrays.
+    The chumpy GRAPH mode (Ch instances with dterms) is never entered —
+    `pose` stays an ndarray so posemapper.lrotmin takes its numpy path."""
+    import numpy as np
+
+    class ChArray(np.ndarray):
+        @property
+        def r(self):
+            return np.asarray(self)
+
+    def _array(x):
+        return np.asarray(x).view(ChArray)
+
+    class Ch:
+        # subclassed by posemapper.Rodrigues at import time; instances are
+        # only created on the chumpy-graph path the stub never takes
+        dterms = ()
+
+        def __init__(self, *a, **k):  # pragma: no cover - guard
+            raise NotImplementedError(
+                "chumpy stub: graph mode unsupported (numpy path only)"
+            )
+
+    mod = types.ModuleType("chumpy")
+    mod.Ch = Ch
+    mod.array = _array
+    mod.vstack = lambda arrs: _array(np.vstack([np.asarray(a)
+                                                for a in arrs]))
+    mod.concatenate = np.concatenate
+    mod.eye = np.eye
+    chmod = types.ModuleType("chumpy.ch")
+    chmod.MatVecMult = lambda mtx, vec: _array(mtx.dot(np.asarray(vec)))
+    mod.ch = chmod
+    sys.modules["chumpy.ch"] = chmod
+    return mod
+
+
 _STUBS = {
     "easydict": _easydict_module,
     "skfmm": _skfmm_module,
     "torchvision": _torchvision_module,
     "torch_geometric": _torch_geometric_module,
+    "chumpy": _chumpy_module,
 }
 
 _cache: dict = {}

@@ -49,3 +49,27 @@ def test_all_gather_and_ring_permute():
 def test_cross_host_mean_single_process_identity():
     tree = {"a": 1.0, "b": [2.0, 3.0]}
     assert C.cross_host_mean(tree) == tree
+
+
+def test_hlo_collective_bytes_parses_shapes():
+    hlo = "\n".join([
+        "  %ar = f32[128,256] all-reduce(%p), replica_groups={}",
+        "  %t = (f32[64], bf16[32,2]) all-reduce(%a, %b)",
+        "  %ag = bf16[8,128]{1,0} all-gather-start(%x), dimensions={0}",
+        "  %agd = bf16[8,128] all-gather-done(%ag)",  # not double-counted
+        "  %cp = u8[16] collective-permute(%y)",
+        "  %add = f32[128,256] add(%ar, %ar)",  # not a collective
+    ])
+    got = C.hlo_collective_bytes(hlo)
+    assert got["all-reduce"] == 128 * 256 * 4 + 64 * 4 + 32 * 2 * 2
+    assert got["all-gather"] == 8 * 128 * 2
+    assert got["collective-permute"] == 16
+    assert "add" not in got
+
+
+def test_scaling_projection_micro_checks():
+    """The explicit-SPMD helpers executed against live (8,1)/(4,2) meshes
+    (the scaling probe is their production call site)."""
+    from x_as_supervision_tpu.tools.scaling_projection import micro_checks
+
+    assert micro_checks(8) == "ok"
