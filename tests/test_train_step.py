@@ -216,3 +216,40 @@ def test_remat_modes_numerically_identical():
     for mode in ("head_decode", "full"):
         np.testing.assert_allclose(results[mode][0], ref[0], rtol=1e-6)
         np.testing.assert_allclose(results[mode][1], ref[1], rtol=1e-5)
+
+
+def test_hypo0_weight_pseudo_pull():
+    """The opt-in confident-mode knob (smpl_pseudo_img_loss.hypo0_weight)
+    adds exactly `w * per_hypo[0]` to the pseudo term: with num_hypo=1
+    (per_hypo[0] IS the min) a pseudo-only loss must scale by (1 + w);
+    with the knob absent the loss is bit-identical to the baseline."""
+    import copy
+
+    from x_as_supervision_tpu.models import composed as C
+
+    ds = SyntheticPoseDataset(num_samples=4, cam_id_list=(0, 1),
+                              patch_size=64)
+    batch = {k: jnp.asarray(v) for k, v in ds.device_batch(0, 2).items()}
+
+    def pseudo_loss(h0w):
+        cfg = copy.deepcopy(TINY_CONFIG)
+        cfg["model_params"]["detector_params"]["num_hypo"] = 1
+        lc = {"smpl_pseudo_img_loss": {"weight": 3.0}}
+        if h0w is not None:
+            lc["smpl_pseudo_img_loss"]["hypo0_weight"] = h0w
+        cfg["model_params"]["loss_config"] = lc
+        spec = build_gan_spec(cfg)
+        det_vars = spec.detector.init(jax.random.PRNGKey(0),
+                                      batch["cam_0_img"])
+        phys_vars = spec.physique.init(jax.random.PRNGKey(1),
+                                       batch["cam_0_mask"])
+        losses, _, _, _ = C.generator_forward(
+            spec, det_vars, phys_vars, None, batch, jax.random.PRNGKey(3),
+            train=True,
+        )
+        assert set(losses) == {"smpl_pseudo_img"}
+        return float(jnp.asarray(losses["smpl_pseudo_img"]))
+
+    base = pseudo_loss(None)
+    assert pseudo_loss(0.0) == base
+    np.testing.assert_allclose(pseudo_loss(0.5), 1.5 * base, rtol=1e-6)

@@ -416,6 +416,16 @@ def generator_forward(
                 lambda p, g=pseudo_gt: L.compute_supervision(p, g), in_axes=1
             )(pred)
             loss_pseudo = loss_pseudo + per_hypo.min()
+            # Opt-in hypothesis-0 pull (extension; confident-mode
+            # experiment, PERF.md round 5): the min-over-hypotheses
+            # reduction never anchors WHICH hypothesis is reliable, so the
+            # oracle-free 'confident' eval (reference eval.py:146-148,
+            # hypothesis 0) lags 'best' badly. A small extra pseudo term on
+            # hypothesis 0 pushes it toward the supervised solution without
+            # collapsing the hypothesis diversity the min preserves.
+            h0w = loss_cfg["smpl_pseudo_img_loss"].get("hypo0_weight", 0.0)
+            if h0w:
+                loss_pseudo = loss_pseudo + h0w * per_hypo[0]
         losses["smpl_pseudo_img"] = (
             loss_pseudo * loss_cfg["smpl_pseudo_img_loss"]["weight"]
         )
