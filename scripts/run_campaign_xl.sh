@@ -5,8 +5,10 @@
 # BOTH the H36M protocol (MPJPE family) and the MPI protocol (PCK/AUC via
 # dataset_params.eval_protocol).
 #
-# Usage: scripts/run_campaign_xl.sh [s1|s2|s1ext|eval|confident]
-# (default: all stages except s1ext/confident). s1ext is the
+# Usage: scripts/run_campaign_xl.sh [s1|s2|s1ext|s2h0|eval|confident]
+# (default: all stages except s1ext/s2h0/confident). s2h0 is the
+# confident-mode experiment: S2's exact finetune with an added 0.5-weight
+# hypothesis-0 pull (config/Campaign_XL_SurS2h0.yaml). s1ext is the
 # matched-compute control: the converged S1 checkpoint finetuned 5 MORE
 # epochs with S1's own losses under S2's exact optimizer schedule
 # (config/Campaign_XL_SurS1ext.yaml) — S1ext vs S2 then differ ONLY in
@@ -64,7 +66,8 @@ echo "S1 ckpt: ${S1_CKPT:-<none>}"
 # The finetune stages are meaningless without the S1 init: an empty
 # XAS_INIT_CKPT reads as "unset" to train_resumable.sh, which would
 # silently train the matched-compute control FROM SCRATCH.
-if [[ ( "$STAGE" == "s2" || "$STAGE" == "s1ext" ) && -z "$S1_CKPT" ]]; then
+if [[ ( "$STAGE" == "s2" || "$STAGE" == "s1ext" || "$STAGE" == "s2h0" ) \
+      && -z "$S1_CKPT" ]]; then
   echo "[campaign] no S1 checkpoint under $LOG_ROOT/campaign_xl_s1;" \
        "run the s1 stage first" >&2
   exit 1
@@ -82,23 +85,37 @@ if [[ "$STAGE" == "s2" || "$STAGE" == "all" ]]; then
       "$LOG_ROOT/campaign_xl_s2" "${TRAIN_ARGS[@]}" || exit 1
 fi
 
-if [[ "$STAGE" == "s1ext" ]]; then
+# S1-initialized finetune variant (the matched-compute control S1ext,
+# the confident-mode experiment S2h0): train from the S1 checkpoint,
+# then eval best + MPI-protocol + confident rows.
+finetune_variant() {  # <Variant> (config suffix, e.g. S1ext / S2h0)
+  local v=$1 lv
+  lv=$(echo "$v" | tr '[:upper:]' '[:lower:]')
   XAS_INIT_CKPT="${S1_CKPT}" \
-    scripts/train_resumable.sh "$CFG_DIR/${PREFIX}S1ext.yaml" \
-      "$LOG_ROOT/campaign_xl_s1ext" "${TRAIN_ARGS[@]}" || exit 1
-  EXT_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s1ext/*/ 2>/dev/null | head -1 || true)
-  EXT_CKPT=$(ls -d "${EXT_RUN}"*_ckpt 2>/dev/null | sort | tail -1 || true)
-  make_mpi_twin "$CFG_DIR/${PREFIX}S1ext.yaml" \
-    "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml" || exit 1
-  python eval.py --config "$CFG_DIR/${PREFIX}S1ext.yaml" \
-    --checkpoint "${EXT_CKPT}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
-  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext.txt"
-  python eval.py --config "$LOG_ROOT/${PREFIX}S1ext_mpi.yaml" \
-    --checkpoint "${EXT_CKPT}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
-  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_mpi.txt"
-  python eval.py --config "$CFG_DIR/${PREFIX}S1ext.yaml" \
-    --checkpoint "${EXT_CKPT}" --multi_hypo confident "${EVAL_ARGS[@]}" || exit 1
-  cp "${EXT_RUN}eval/eval_result.txt" "$OUT/xl_eval_s1ext_confident.txt"
+    scripts/train_resumable.sh "$CFG_DIR/${PREFIX}${v}.yaml" \
+      "$LOG_ROOT/campaign_xl_${lv}" "${TRAIN_ARGS[@]}" || exit 1
+  local run ckpt
+  run=$(ls -dt "$LOG_ROOT/campaign_xl_${lv}"/*/ 2>/dev/null | head -1 || true)
+  ckpt=$(ls -d "${run}"*_ckpt 2>/dev/null | sort | tail -1 || true)
+  make_mpi_twin "$CFG_DIR/${PREFIX}${v}.yaml" \
+    "$LOG_ROOT/${PREFIX}${v}_mpi.yaml" || exit 1
+  python eval.py --config "$CFG_DIR/${PREFIX}${v}.yaml" \
+    --checkpoint "${ckpt}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
+  cp "${run}eval/eval_result.txt" "$OUT/xl_eval_${lv}.txt"
+  python eval.py --config "$LOG_ROOT/${PREFIX}${v}_mpi.yaml" \
+    --checkpoint "${ckpt}" --multi_hypo best "${EVAL_ARGS[@]}" || exit 1
+  cp "${run}eval/eval_result.txt" "$OUT/xl_eval_${lv}_mpi.txt"
+  python eval.py --config "$CFG_DIR/${PREFIX}${v}.yaml" \
+    --checkpoint "${ckpt}" --multi_hypo confident "${EVAL_ARGS[@]}" || exit 1
+  cp "${run}eval/eval_result.txt" "$OUT/xl_eval_${lv}_confident.txt"
+}
+
+if [[ "$STAGE" == "s1ext" ]]; then
+  finetune_variant S1ext
+fi
+if [[ "$STAGE" == "s2h0" ]]; then
+  finetune_variant S2h0
+  exit 0
 fi
 
 S2_RUN=$(ls -dt "$LOG_ROOT"/campaign_xl_s2/*/ 2>/dev/null | head -1 || true)

@@ -52,7 +52,7 @@ def campaign_fixture(tmp_path_factory):
 
     cfg_dir = root / "cfg"
     cfg_dir.mkdir()
-    for stage in ("S1", "S2", "S1ext"):
+    for stage in ("S1", "S2", "S1ext", "S2h0"):
         with open(f"config/Campaign_XL_Sur{stage}.yaml") as f:
             cfg = yaml.safe_load(f)
         dp = cfg["dataset_params"]
@@ -137,6 +137,16 @@ def test_campaign_driver_all_then_s1ext_then_confident(campaign_fixture):
         os.path.join(out, "xl_eval_s1ext_mpi.txt"), mpi=True
     )
     _assert_eval_artifact(os.path.join(out, "xl_eval_s1ext_confident.txt"))
+
+    # the confident-mode experiment stage (S2 finetune + hypothesis-0
+    # pull) shares finetune_variant with s1ext; pin its artifacts too
+    res = _run(["bash", "scripts/run_campaign_xl.sh", "s2h0"], env)
+    assert "campaign_xl_s1/" in res.stdout, res.stdout[-2000:]
+    _assert_eval_artifact(os.path.join(out, "xl_eval_s2h0.txt"))
+    _assert_eval_artifact(
+        os.path.join(out, "xl_eval_s2h0_mpi.txt"), mpi=True
+    )
+    _assert_eval_artifact(os.path.join(out, "xl_eval_s2h0_confident.txt"))
 
     # confident-mode rows for S1/S2
     _run(["bash", "scripts/run_campaign_xl.sh", "confident"], env)
