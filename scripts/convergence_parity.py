@@ -168,10 +168,33 @@ def write_reference_smpl_pkl(smpl_root: str) -> None:
     print(f"wrote reference-format SMPL pkl: {path}")
 
 
+def _render_complete_at_scale(frames: int) -> bool:
+    """True iff the existing render matches the requested per-folder
+    frame count. A smoke run leaves a 2-frame manifest behind; without
+    this check a later full run would silently train on it (the exact
+    failure round 5 hit)."""
+    path = os.path.join(DATA, "manifest.json")
+    if not os.path.isfile(path):
+        return False
+    import json
+
+    folders = json.load(open(path)).get("data", {}).get("hm36", {})
+    return bool(folders) and all(
+        f.get("frames") == frames for f in folders.values()
+    )
+
+
 def stage_render(smoke: bool) -> None:
-    if os.path.isfile(os.path.join(DATA, "manifest.json")):
-        print("render: already complete")
+    frames = 2 if smoke else 24
+    if _render_complete_at_scale(frames):
+        print(f"render: already complete at {frames} frames/folder")
     else:
+        if os.path.isfile(os.path.join(DATA, "manifest.json")):
+            print(f"render: exists at the WRONG scale; re-rendering "
+                  f"{DATA} at {frames} frames/folder")
+            import shutil
+
+            shutil.rmtree(DATA)
         scale = (
             ["--train_frames", "2", "--valid_frames", "2",
              "--pseudo_segments", "2", "--pseudo_frames", "8",
